@@ -69,6 +69,19 @@ def average_wall_impedance_to_pressure_reflectance(z, cos_angle):
     return (tmp - 1.0) / (tmp + 1.0)
 
 
+def pressure_reflectance_at_angle(normal_reflectance, cos_angle):
+    """Angle-dependent reflectance directly from the normal-incidence value.
+
+    Algebraically identical to converting through wall impedance
+    (``average_wall_impedance_to_pressure_reflectance ∘
+    pressure_reflectance_to_average_wall_impedance``) but stable at
+    reflectance → 1 (zero absorption), where the impedance blows up.
+    """
+    num = cos_angle * (1.0 + normal_reflectance) - (1.0 - normal_reflectance)
+    den = cos_angle * (1.0 + normal_reflectance) + (1.0 - normal_reflectance)
+    return num / jnp.maximum(den, 1e-20)
+
+
 def scattered_pressure(total_reflected, scattering):
     return total_reflected * scattering
 
