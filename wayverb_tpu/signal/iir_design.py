@@ -89,6 +89,55 @@ def eqnerror_fit(freqs: np.ndarray, response: np.ndarray, order: int,
     return b, a
 
 
+def levinson(r: np.ndarray, order: int) -> np.ndarray:
+    """Levinson–Durbin: monic, stable AR(order) coefficients from
+    autocorrelation r[0..order]."""
+    a = np.array([1.0])
+    err = r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + (np.dot(a[1:], r[1:i][::-1]) if i > 1 else 0.0)
+        k = -acc / err
+        a = np.concatenate([a, [0.0]])
+        a = a + k * a[::-1]
+        err = err * (1.0 - k * k)
+        if err <= 1e-16:
+            break
+    if a.size < order + 1:
+        a = np.concatenate([a, np.zeros(order + 1 - a.size)])
+    return a
+
+
+def yulewalk_design(freqs_norm, magnitudes, order: int,
+                    npt: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """Magnitude-only IIR fit in the style of MATLAB/itpp ``yulewalk``.
+
+    Denominator: Levinson–Durbin AR model of the target power spectrum
+    (autocorrelation method — inherently stable, smooths rather than
+    overshoots sharp transitions).  Numerator: linear least squares against
+    the minimum-phase target with the denominator fixed.
+    """
+    freqs = np.asarray(freqs_norm, dtype=np.float64)
+    mags = np.asarray(magnitudes, dtype=np.float64)
+    grid = np.linspace(0.0, 1.0, npt)
+    target = np.interp(grid, freqs, mags)
+
+    power = target ** 2
+    full = np.concatenate([power, power[-2:0:-1]])
+    r = np.fft.ifft(full).real[:order + 1]
+    a = levinson(r, order)
+
+    h_min = minimum_phase_response(target)
+    omega = grid * np.pi
+    k = np.arange(order + 1)
+    e = np.exp(-1j * np.outer(omega, k))
+    a_resp = e @ a
+    target_b = a_resp * h_min
+    m = np.concatenate([e.real, e.imag], axis=0)
+    v = np.concatenate([target_b.real, target_b.imag], axis=0)
+    b, *_ = np.linalg.lstsq(m, v, rcond=None)
+    return b, a
+
+
 def polystab(a: np.ndarray) -> np.ndarray:
     """Reflect roots of the polynomial outside the unit circle to their
     conjugate-reciprocal positions (magnitude response scaled by a constant)."""
@@ -106,7 +155,9 @@ def polystab(a: np.ndarray) -> np.ndarray:
 def design_magnitude_filter(freqs_norm, magnitudes, order: int,
                             grid_points: int = 256,
                             pin_edges_to_zero: bool = True,
-                            dense_points: int = 512):
+                            dense_points: int = 512,
+                            max_magnitude: float | None = None,
+                            constraint_iterations: int = 6):
     """Fit an order-N IIR to magnitude points.
 
     ``freqs_norm``: frequencies normalized so Nyquist = 1, ascending;
@@ -132,21 +183,41 @@ def design_magnitude_filter(freqs_norm, magnitudes, order: int,
 
     # densify for the cepstral minimum-phase construction
     dense_grid = np.linspace(0.0, 1.0, dense_points)
-    dense_target = np.interp(dense_grid, grid, target)
-    h_min = minimum_phase_response(dense_target)
-    omega = dense_grid * np.pi
+    weights = np.ones(dense_points)
 
-    b, a = eqnerror_fit(omega, h_min, order)
-    if not is_stable(a):
-        a = polystab(a)
-        # re-fit numerator against the stabilized denominator (linear LS)
-        k = np.arange(order + 1)
-        e = np.exp(-1j * np.outer(omega, k))
-        a_resp = e @ a
-        m = np.concatenate([(e / a_resp[:, None]).real,
-                            (e / a_resp[:, None]).imag], axis=0)
-        v = np.concatenate([h_min.real, h_min.imag], axis=0)
-        b, *_ = np.linalg.lstsq(m, v, rcond=None)
+    def fit(target_on_grid, w):
+        dense_target = np.interp(dense_grid, grid, target_on_grid) \
+            if target_on_grid.shape != dense_grid.shape else target_on_grid
+        h_min = minimum_phase_response(dense_target)
+        omega = dense_grid * np.pi
+        b, a = eqnerror_fit(omega, h_min, order, weights=w)
+        if not is_stable(a):
+            a = polystab(a)
+            k = np.arange(order + 1)
+            e = np.exp(-1j * np.outer(omega, k))
+            a_resp = e @ a
+            ww = np.sqrt(w)[:, None]
+            m = np.concatenate([((e / a_resp[:, None]) * ww).real,
+                                ((e / a_resp[:, None]) * ww).imag], axis=0)
+            v = np.concatenate([(h_min * np.sqrt(w)).real,
+                                (h_min * np.sqrt(w)).imag], axis=0)
+            b, *_ = np.linalg.lstsq(m, v, rcond=None)
+        return b, a
+
+    b, a = fit(target, weights)
+    if max_magnitude is not None:
+        # iteratively push overshoot regions back under the ceiling: clip the
+        # dense target where the fit exceeds it and upweight those samples
+        dense_target = np.interp(dense_grid, grid, target)
+        for _ in range(constraint_iterations):
+            h = np.abs(frequency_response(b, a, dense_grid))
+            over = h > max_magnitude
+            if not np.any(over):
+                break
+            dense_target = np.where(
+                over, np.minimum(dense_target, max_magnitude), dense_target)
+            weights = np.where(over, weights * 4.0, weights)
+            b, a = fit(dense_target, weights)
     return b, a
 
 

@@ -1,0 +1,91 @@
+"""Receiver postprocessors: per-step taps on the pressure field.
+
+Parity: reference ``waveguide/postprocessor/node.h`` (single-node pressure)
+and ``postprocessor/directional_receiver.cpp:29-69`` (6-neighbour pressure
+gradient → discrete velocity integrator → instantaneous intensity vector).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayverb_tpu.waveguide.descriptor import (DIRECTION_OFFSETS,
+                                              MeshDescriptor)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class NodeReceiver:
+    node_idx: Any
+
+    def tree_flatten(self):
+        return (self.node_idx,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def init_state(self, dtype=jnp.float32):
+        return ()
+
+    def tap(self, field_flat, state):
+        return state, field_flat[self.node_idx]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DirectionalReceiver:
+    """Velocity-integrating intensity probe at one mesh node."""
+
+    node_idx: Any          # scalar flat index
+    neighbor_idx: Any      # (6,) flat indices
+    spacing: Any           # mesh spacing
+    inv_density_dt: Any    # 1/(ambient_density · sample_rate)
+
+    def tree_flatten(self):
+        return (self.node_idx, self.neighbor_idx, self.spacing,
+                self.inv_density_dt), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def init_state(self, dtype=jnp.float32):
+        return jnp.zeros(3, dtype=dtype)
+
+    def tap(self, field_flat, velocity):
+        """Returns (new_velocity, (intensity (3,), pressure ()))."""
+        p = field_flat[self.node_idx]
+        surrounding = (field_flat[self.neighbor_idx] - p) / self.spacing
+        gradient = 0.5 * jnp.stack([
+            surrounding[1] - surrounding[0],
+            surrounding[3] - surrounding[2],
+            surrounding[5] - surrounding[4],
+        ])
+        velocity = velocity - gradient * self.inv_density_dt
+        intensity = velocity * p
+        return velocity, (intensity, p)
+
+
+def make_directional_receiver(desc: MeshDescriptor, sample_rate: float,
+                              ambient_density: float, position
+                              ) -> DirectionalReceiver:
+    loc = desc.locator(position)
+    dims = np.asarray(desc.dimensions)
+    neighbors = loc[None, :] + DIRECTION_OFFSETS
+    if np.any(neighbors < 0) or np.any(neighbors >= dims):
+        raise RuntimeError(
+            "can't place directional receiver adjacent to the mesh edge")
+    flat = lambda l: np.ravel_multi_index(            # noqa: E731
+        (l[..., 0], l[..., 1], l[..., 2]), desc.dimensions).astype(np.int32)
+    return DirectionalReceiver(
+        node_idx=jnp.asarray(flat(loc)),
+        neighbor_idx=jnp.asarray(flat(neighbors)),
+        spacing=jnp.float32(desc.spacing),
+        inv_density_dt=jnp.float32(1.0 / (ambient_density * sample_rate)),
+    )

@@ -1,0 +1,202 @@
+"""Waveguide execution: the on-device time loop and the canonical driver.
+
+The reference's host-driven per-step kernel launches with per-step 4-byte
+host round-trips (``waveguide.h:80-124``) become a single ``lax.scan`` whose
+body injects the source, taps the receiver, and advances the mesh — nothing
+leaves the device until the run finishes.  NaN/Inf detection folds into the
+scan carry instead of an atomic error flag.
+
+Canonical driver parity: ``waveguide/canonical.h:30-124`` (hard source with
+calibrated impulse at the source node, directional receiver at the receiver
+node, steps = ⌈time·fs⌉).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayverb_tpu.core.environment import Environment
+from wayverb_tpu.core.geometry import Box, TriangleSoup, box_scene
+from wayverb_tpu.waveguide import boundary as bdry
+from wayverb_tpu.waveguide.descriptor import (MeshDescriptor,
+                                              compute_adjusted_boundary,
+                                              descriptor_for_box,
+                                              grid_spacing)
+from wayverb_tpu.waveguide.receivers import make_directional_receiver
+from wayverb_tpu.waveguide.setup import (MeshStructure, build_structure,
+                                         classify_inside_scene,
+                                         classify_inside_shoebox,
+                                         estimate_volume)
+from wayverb_tpu.waveguide.sources import (HardSource, impulse_signal,
+                                           rectilinear_calibration_factor)
+from wayverb_tpu.waveguide.stencil import waveguide_step
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Descriptor + device structure + bookkeeping for one scene."""
+
+    descriptor: MeshDescriptor
+    structure: MeshStructure
+    inside: np.ndarray       # host copy for placement checks
+    room_volume: float
+
+    def require_inside(self, position) -> np.ndarray:
+        loc = self.descriptor.locator(position)
+        in_bounds = np.all(loc >= 0) and np.all(
+            loc < np.asarray(self.descriptor.dimensions))
+        if not in_bounds or not bool(self.inside[tuple(loc)]):
+            raise RuntimeError(
+                f"position {position} does not map to an inside mesh node")
+        return loc
+
+
+def compute_mesh(soup: TriangleSoup, surface_absorption, spacing: float,
+                 sample_rate: float, scene_box: Optional[Box] = None,
+                 anchor=None) -> Mesh:
+    """Build a mesh for a scene.
+
+    ``surface_absorption``: (S, bands) per-material absorption →
+    per-material order-6 impedance filters fitted at the mesh rate.
+    ``scene_box`` enables the analytic shoebox inside-test fast path.
+    """
+    from wayverb_tpu.core.geometry import scene_aabb
+    aabb = scene_box if scene_box is not None else scene_aabb(soup)
+    if anchor is None:
+        anchor = tuple(np.asarray(aabb.centre()))
+    adjusted = compute_adjusted_boundary(aabb, anchor, spacing)
+    desc = descriptor_for_box(adjusted, spacing)
+
+    if scene_box is not None:
+        inside = classify_inside_shoebox(desc, scene_box)
+    else:
+        inside = classify_inside_scene(desc, soup)
+
+    surface_absorption = np.asarray(surface_absorption)
+    coeffs = [bdry.compute_boundary_coefficients(surface_absorption[i],
+                                                 sample_rate)
+              for i in range(surface_absorption.shape[0])]
+    coef_b, coef_a = bdry.coefficient_table(coeffs)
+    structure = build_structure(desc, inside, soup, coef_b, coef_a)
+    return Mesh(descriptor=desc, structure=structure, inside=inside,
+                room_volume=estimate_volume(desc, inside))
+
+
+@dataclasses.dataclass
+class WaveguideOutput:
+    pressure: Any          # (T,) at the output node
+    intensity: Any         # (T, 3) directional intensity
+    sample_rate: float
+    stable: Any            # bool: no NaN/Inf during the run
+
+
+def run_waveguide(structure: MeshStructure, dims, source, receiver,
+                  num_steps: int, dtype=jnp.float32) -> dict:
+    """Scan the mesh ``num_steps`` steps.  Jit-compatible core.
+
+    ``source`` must expose ``inject(field_flat, t)``; ``receiver`` must
+    expose ``init_state()`` and ``tap(field_flat, state)``.
+    """
+    num_nodes = dims[0] * dims[1] * dims[2]
+    current = jnp.zeros(dims, dtype=dtype)
+    previous = jnp.zeros(dims, dtype=dtype)
+    fstate = structure.initial_filter_state(dtype)
+    rstate = receiver.init_state(dtype)
+
+    def body(carry, t):
+        current, previous, fstate, rstate, ok = carry
+        cur_flat = source.inject(current.reshape(num_nodes), t)
+        current = cur_flat.reshape(dims)
+        rstate, outputs = receiver.tap(cur_flat, rstate)
+        nxt, fstate = waveguide_step(current, previous, fstate, structure)
+        ok = ok & jnp.all(jnp.isfinite(nxt))
+        return (nxt, current, fstate, rstate, ok), outputs
+
+    (_, _, _, _, ok), outputs = jax.lax.scan(
+        body, (current, previous, fstate, rstate, jnp.asarray(True)),
+        jnp.arange(num_steps))
+    return {"outputs": outputs, "stable": ok}
+
+
+_run_waveguide_jit = jax.jit(
+    run_waveguide, static_argnames=("dims", "num_steps", "dtype"))
+
+
+def canonical(mesh: Mesh, source_position, receiver_position,
+              simulation_time: float, environment: Environment = Environment(),
+              dtype=jnp.float32) -> WaveguideOutput:
+    """Calibrated impulse → directional receiver output, one band."""
+    desc = mesh.descriptor
+    fs = desc.sample_rate(environment.speed_of_sound)
+    num_steps = int(math.ceil(fs * simulation_time))
+    if num_steps <= 0:
+        raise ValueError(
+            f"simulation_time {simulation_time} yields no steps at fs {fs}")
+
+    src_loc = mesh.require_inside(source_position)
+    rcv_loc = mesh.require_inside(receiver_position)
+
+    amplitude = rectilinear_calibration_factor(
+        desc.spacing, environment.acoustic_impedance)
+    source = HardSource(
+        node_idx=jnp.asarray(desc.flat_index(src_loc), dtype=jnp.int32),
+        signal=impulse_signal(num_steps, amplitude))
+    receiver = make_directional_receiver(
+        desc, fs, environment.ambient_density, desc.position(rcv_loc))
+
+    result = _run_waveguide_jit(mesh.structure, desc.dimensions, source,
+                                receiver, num_steps, dtype)
+    intensity, pressure = result["outputs"]
+    return WaveguideOutput(pressure=pressure, intensity=intensity,
+                           sample_rate=fs, stable=result["stable"])
+
+
+def canonical_multiband(mesh: Mesh, soup_surface_absorption, source_position,
+                        receiver_position, simulation_time: float,
+                        num_bands: int,
+                        environment: Environment = Environment(),
+                        dtype=jnp.float32):
+    """Per-band reruns with flat (frequency-independent) boundaries.
+
+    Parity: reference ``canonical.h:141-177`` — band b uses
+    ``to_flat_coefficients(absorption[:, b])`` per surface and covers the
+    hrtf band-edge range [edge_b, edge_{b+1}] Hz.  Returns a list of
+    ``postprocess.BandpassBand``.
+    """
+    from wayverb_tpu.signal.multiband import band_edges
+    from wayverb_tpu.waveguide.postprocess import BandpassBand
+    import dataclasses as dc
+
+    absorption = np.asarray(soup_surface_absorption)   # (S, bands)
+    edges = np.asarray(band_edges(absorption.shape[1]))
+    out = []
+    for b in range(num_bands):
+        coeffs = [bdry.to_flat_coefficients(float(absorption[s, b]))
+                  for s in range(absorption.shape[0])]
+        coef_b, coef_a = bdry.coefficient_table(coeffs)
+        structure = dc.replace(mesh.structure,
+                               coef_b=jnp.asarray(coef_b),
+                               coef_a=jnp.asarray(coef_a))
+        band_mesh = dc.replace(mesh, structure=structure)
+        result = canonical(band_mesh, source_position, receiver_position,
+                           simulation_time, environment, dtype)
+        out.append(BandpassBand(
+            pressure=result.pressure, intensity=result.intensity,
+            sample_rate=result.sample_rate,
+            valid_hz=(float(edges[b]), float(edges[b + 1]))))
+    return out
+
+
+def shoebox_mesh(box: Box, absorption, spacing: float, sample_rate: float,
+                 anchor=None) -> Mesh:
+    """Mesh for a rectangular room with one material on all walls."""
+    soup = box_scene(box)
+    absorption = np.atleast_2d(np.asarray(absorption))
+    return compute_mesh(soup, absorption, spacing, sample_rate,
+                        scene_box=box, anchor=anchor)

@@ -1,0 +1,117 @@
+"""Source preprocessors: how excitation enters the mesh each step.
+
+Parity: reference ``waveguide/preprocessor/hard_source.h`` (overwrite node),
+``soft_source.h`` (add), ``gaussian.h`` (3D gaussian ball × signal sample),
+``calibration.h:26-31`` (injection scale √(Z/4π)/(0.3405·Δx)).
+
+Each source is data (node index / position weights + signal); injection is a
+pure function applied inside the scan body.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+import numpy as np
+
+from wayverb_tpu.waveguide.descriptor import MeshDescriptor
+
+
+def rectilinear_calibration_factor(grid_spacing: float,
+                                   acoustic_impedance: float) -> float:
+    """Level-matching injection scale (siltanen2013; calibration.h)."""
+    distance_for_unit_pressure = math.sqrt(acoustic_impedance / (4 * math.pi))
+    return distance_for_unit_pressure / (0.3405 * grid_spacing)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class HardSource:
+    """Overwrite the source node's pressure with signal[t]."""
+
+    node_idx: Any     # scalar int32 flat index
+    signal: Any       # (T,)
+
+    def tree_flatten(self):
+        return (self.node_idx, self.signal), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def inject(self, field_flat, t):
+        return field_flat.at[self.node_idx].set(self.signal[t])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SoftSource:
+    """Add signal[t] to the source node's pressure."""
+
+    node_idx: Any
+    signal: Any
+
+    def tree_flatten(self):
+        return (self.node_idx, self.signal), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def inject(self, field_flat, t):
+        return field_flat.at[self.node_idx].add(self.signal[t])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class GaussianSource:
+    """Soft injection over a gaussian ball of nodes (preprocessor/gaussian.h)."""
+
+    node_indices: Any  # (K,) flat indices within the ball support
+    weights: Any       # (K,) gaussian weights
+    signal: Any        # (T,)
+
+    def tree_flatten(self):
+        return (self.node_indices, self.weights, self.signal), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def inject(self, field_flat, t):
+        return field_flat.at[self.node_indices].add(
+            self.weights * self.signal[t])
+
+
+def make_gaussian_source(desc: MeshDescriptor, centre, sdev: float,
+                         signal, support_radius_cells: int = 4
+                         ) -> GaussianSource:
+    """Gaussian ball centred at ``centre`` with spatial σ ``sdev`` metres."""
+    loc = desc.locator(centre)
+    r = support_radius_cells
+    offs = np.stack(np.meshgrid(*([np.arange(-r, r + 1)] * 3),
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    locs = loc[None, :] + offs
+    dims = np.asarray(desc.dimensions)
+    ok = np.all((locs >= 0) & (locs < dims), axis=-1)
+    locs = locs[ok]
+    pos = desc.position(locs)
+    d2 = np.sum((pos - np.asarray(centre)) ** 2, axis=-1)
+    w = np.exp(-d2 / (2.0 * sdev * sdev))
+    flat = np.ravel_multi_index(
+        (locs[:, 0], locs[:, 1], locs[:, 2]), desc.dimensions)
+    return GaussianSource(
+        node_indices=jnp.asarray(flat.astype(np.int32)),
+        weights=jnp.asarray(w.astype(np.float32)),
+        signal=jnp.asarray(signal, dtype=jnp.float32),
+    )
+
+
+def impulse_signal(num_steps: int, amplitude: float) -> jnp.ndarray:
+    """[amplitude, 0, 0, ...] — the canonical calibrated impulse input."""
+    return jnp.zeros(num_steps, dtype=jnp.float32).at[0].set(amplitude)
