@@ -94,7 +94,12 @@ def ray_triangle_intersection(origin, direction, corners):
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(direction * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPSILON)
+    # small barycentric slack: rays crossing exactly on a shared edge must
+    # hit at least one of the adjacent triangles, or they leak out of
+    # watertight scenes and die (visible as spurious energy decay)
+    slack = 1e-4
+    hit = ok & (u >= -slack) & (v >= -slack) & (u + v <= 1.0 + slack) \
+        & (t > EPSILON)
     return t, u, v, hit
 
 
