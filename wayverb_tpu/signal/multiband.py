@@ -31,15 +31,18 @@ def band_edge_frequency(band, bands, lo, hi):
 
 def band_edges(bands: int = DEFAULT_BANDS, lo=AUDIBLE_RANGE[0],
                hi=AUDIBLE_RANGE[1]):
-    """(bands+1,) numpy-style tuple of edges in Hz."""
-    return jnp.asarray(
+    """(bands+1,) edges in Hz.  Pure numpy: this is setup-path math, and on
+    a remote-TPU backend every tiny jnp array costs a round trip."""
+    import numpy as _np
+    return _np.asarray(
         [band_edge_frequency(i, bands, lo, hi) for i in range(bands + 1)])
 
 
 def band_centres(bands: int = DEFAULT_BANDS, lo=AUDIBLE_RANGE[0],
                  hi=AUDIBLE_RANGE[1]):
-    """(bands,) geometric band centres in Hz."""
-    return jnp.asarray([
+    """(bands,) geometric band centres in Hz (numpy, setup path)."""
+    import numpy as _np
+    return _np.asarray([
         band_edge_frequency(2 * i + 1, 2 * bands, lo, hi)
         for i in range(bands)
     ])

@@ -114,8 +114,22 @@ def compute_adjusted_boundary(scene_aabb: Box, anchor, spacing: float) -> Box:
     return Box(tuple(new_lo), tuple(new_hi))
 
 
-def descriptor_for_box(box: Box, spacing: float) -> MeshDescriptor:
+def descriptor_for_box(box: Box, spacing: float,
+                       align: Tuple[int, int, int] | None = None
+                       ) -> MeshDescriptor:
+    """``align`` rounds each dimension up to the given multiple (extra nodes
+    are outside the scene and inert) — used for TPU tile alignment."""
     lo = np.asarray(box.min_corner, dtype=np.float64)
     hi = np.asarray(box.max_corner, dtype=np.float64)
-    dims = tuple(int(d) for d in np.floor((hi - lo) / spacing) + 1)
-    return MeshDescriptor(tuple(lo), dims, float(spacing))
+    dims = [int(d) for d in np.floor((hi - lo) / spacing) + 1]
+    if align is not None:
+        dims = [-(-d // a) * a for d, a in zip(dims, align)]
+    return MeshDescriptor(tuple(lo), tuple(dims), float(spacing))
+
+
+def default_alignment() -> Tuple[int, int, int] | None:
+    """Tile alignment for the current backend (None on CPU)."""
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        return (8, 8, 128)
+    return None

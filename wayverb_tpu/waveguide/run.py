@@ -59,19 +59,25 @@ class Mesh:
 
 def compute_mesh(soup: TriangleSoup, surface_absorption, spacing: float,
                  sample_rate: float, scene_box: Optional[Box] = None,
-                 anchor=None) -> Mesh:
+                 anchor=None, align="auto") -> Mesh:
     """Build a mesh for a scene.
 
     ``surface_absorption``: (S, bands) per-material absorption →
     per-material order-6 impedance filters fitted at the mesh rate.
     ``scene_box`` enables the analytic shoebox inside-test fast path.
+    ``align``: "auto" pads grid dims to TPU tile multiples on TPU backends
+    (the Pallas stencil requires it); pass None or a (ax, ay, az) tuple to
+    override.
     """
     from wayverb_tpu.core.geometry import scene_aabb
+    from wayverb_tpu.waveguide.descriptor import default_alignment
     aabb = scene_box if scene_box is not None else scene_aabb(soup)
     if anchor is None:
         anchor = tuple(np.asarray(aabb.centre()))
     adjusted = compute_adjusted_boundary(aabb, anchor, spacing)
-    desc = descriptor_for_box(adjusted, spacing)
+    if align == "auto":
+        align = default_alignment()
+    desc = descriptor_for_box(adjusted, spacing, align=align)
 
     if scene_box is not None:
         inside = classify_inside_shoebox(desc, scene_box)

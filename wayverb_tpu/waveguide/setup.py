@@ -95,9 +95,20 @@ def classify_inside_shoebox(desc: MeshDescriptor, box) -> np.ndarray:
 
 def classify_inside_scene(desc: MeshDescriptor, soup: TriangleSoup,
                           chunk: int = 65536) -> np.ndarray:
-    """General inside test: 32-ray parity vote per node (batched)."""
-    from wayverb_tpu.core.geometry import points_inside
+    """General inside test: 32-ray parity vote per node.
+
+    Prefers the native C++ voxel-DDA runtime (utils.native); falls back to
+    the batched JAX path.
+    """
     pos = desc.node_positions().reshape(-1, 3)
+
+    from wayverb_tpu.utils import native
+    native_result = native.classify_inside(
+        pos, np.asarray(soup.vertices), np.asarray(soup.triangles))
+    if native_result is not None:
+        return native_result.reshape(desc.dimensions)
+
+    from wayverb_tpu.core.geometry import points_inside
     out = np.zeros(pos.shape[0], dtype=bool)
     for i in range(0, pos.shape[0], chunk):
         out[i:i + chunk] = np.asarray(
@@ -190,6 +201,13 @@ def classify_boundaries(inside: np.ndarray
 def _closest_triangle_surface(points: np.ndarray, soup: TriangleSoup,
                               chunk: int = 8192) -> np.ndarray:
     """Surface index of the triangle closest to each point (B, 3)."""
+    from wayverb_tpu.utils import native
+    native_result = native.closest_triangle_surface(
+        points, np.asarray(soup.vertices), np.asarray(soup.triangles),
+        np.asarray(soup.surfaces))
+    if native_result is not None:
+        return native_result
+
     corners = np.asarray(soup.corners())          # (T, 3, 3)
     surf = np.asarray(soup.surfaces)
     out = np.zeros(points.shape[0], dtype=np.int32)

@@ -91,7 +91,8 @@ def boundary_step(current_flat, previous_flat, filter_state,
 
 def waveguide_step(current, previous, filter_state, s: MeshStructure):
     """One full mesh update.  Returns (next_field, new_filter_state)."""
-    nxt = interior_step(current, previous, s.interior_mask)
+    from wayverb_tpu.waveguide.stencil_pallas import interior_step_auto
+    nxt = interior_step_auto(current, previous, s.interior_mask)
     flat_shape = current.shape[0] * current.shape[1] * current.shape[2]
     cur_flat = current.reshape(flat_shape)
     prev_flat = previous.reshape(flat_shape)
