@@ -50,17 +50,17 @@ def main():
     from wayverb_tpu.waveguide import run as wgrun
     from wayverb_tpu.waveguide.descriptor import grid_spacing
     from wayverb_tpu.waveguide.receivers import NodeReceiver
-    from wayverb_tpu.waveguide.run import run_waveguide
+    from wayverb_tpu.waveguide.run import execute
     from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
 
     platform = detect_platform()
-    # a production-scale mesh: ~11.6 M nodes (reference operating point for
-    # a concert hall at 500 Hz cutoff would be of this order)
+    # a production-scale mesh: ~12.8 M nodes (the reference operating point
+    # for a concert hall at 500 Hz cutoff is of this order)
     if platform == "cpu":
         side = (64, 64, 64)
         steps = 30
     else:
-        side = (224, 224, 232)
+        side = (224, 224, 256)
         steps = 100
 
     fs = 3333.33
@@ -83,16 +83,14 @@ def main():
     receiver = NodeReceiver(
         node_idx=jnp.asarray(desc.flat_index(rcv_loc), dtype=jnp.int32))
 
-    run = jax.jit(run_waveguide, static_argnames=("dims", "num_steps"))
-
     # warmup + compile
-    out = run(mesh.structure, dims, source, receiver, steps)
+    out = execute(mesh, source, receiver, steps)
     jax.block_until_ready(out["outputs"])
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = run(mesh.structure, dims, source, receiver, steps)
+        out = execute(mesh, source, receiver, steps)
         jax.block_until_ready(out["outputs"])
     dt = (time.perf_counter() - t0) / reps
 

@@ -40,12 +40,18 @@ from wayverb_tpu.waveguide.stencil import waveguide_step
 
 @dataclasses.dataclass(frozen=True)
 class Mesh:
-    """Descriptor + device structure + bookkeeping for one scene."""
+    """Descriptor + device structure + bookkeeping for one scene.
+
+    ``regions``: when the scene decomposes into rectangular boundary
+    regions (shoeboxes), the solver uses the gather-free slice-based
+    boundary path (box_boundary.py) — much faster on TPU.
+    """
 
     descriptor: MeshDescriptor
     structure: MeshStructure
     inside: np.ndarray       # host copy for placement checks
     room_volume: float
+    regions: Optional[list] = None
 
     def require_inside(self, position) -> np.ndarray:
         loc = self.descriptor.locator(position)
@@ -90,8 +96,24 @@ def compute_mesh(soup: TriangleSoup, surface_absorption, spacing: float,
               for i in range(surface_absorption.shape[0])]
     coef_b, coef_a = bdry.coefficient_table(coeffs)
     structure = build_structure(desc, inside, soup, coef_b, coef_a)
+
+    regions = None
+    if scene_box is not None:
+        from wayverb_tpu.waveguide.box_boundary import shoebox_regions
+        from wayverb_tpu.waveguide.setup import _closest_triangle_surface
+        # surface per face from the closest triangle to each face centre
+        centre = np.asarray(scene_box.centre())
+        dims_m = np.asarray(scene_box.max_corner) - \
+            np.asarray(scene_box.min_corner)
+        face_centres = np.tile(centre, (6, 1))
+        for axis in range(3):
+            face_centres[2 * axis, axis] -= dims_m[axis] / 2
+            face_centres[2 * axis + 1, axis] += dims_m[axis] / 2
+        face_surfaces = _closest_triangle_surface(face_centres, soup)
+        regions = shoebox_regions(inside, face_surfaces)
+
     return Mesh(descriptor=desc, structure=structure, inside=inside,
-                room_volume=estimate_volume(desc, inside))
+                room_volume=estimate_volume(desc, inside), regions=regions)
 
 
 @dataclasses.dataclass
@@ -130,8 +152,59 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
     return {"outputs": outputs, "stable": ok}
 
 
+def run_waveguide_regions(structure: MeshStructure, dims, source, receiver,
+                          num_steps: int, regions, dtype=jnp.float32
+                          ) -> dict:
+    """Scan using the gather-free region boundary path (shoebox meshes).
+
+    ``regions``: tuple of box_boundary.Region (static).
+    """
+    from wayverb_tpu.waveguide.box_boundary import (apply_regions,
+                                                    initial_region_states)
+    from wayverb_tpu.waveguide.stencil_pallas import interior_step_auto
+
+    num_nodes = dims[0] * dims[1] * dims[2]
+    order = structure.filter_order
+    current = jnp.zeros(dims, dtype=dtype)
+    previous = jnp.zeros(dims, dtype=dtype)
+    states = initial_region_states(list(regions), order, dtype)
+    rstate = receiver.init_state(dtype)
+
+    def body(carry, t):
+        current, previous, states, rstate, ok = carry
+        cur_flat = source.inject(current.reshape(num_nodes), t)
+        current = cur_flat.reshape(dims)
+        rstate, outputs = receiver.tap(cur_flat, rstate)
+        nxt = interior_step_auto(current, previous, structure.interior_mask)
+        nxt, states = apply_regions(nxt, current, previous, states,
+                                    list(regions), structure.coef_b,
+                                    structure.coef_a)
+        ok = ok & jnp.all(jnp.isfinite(nxt))
+        return (nxt, current, states, rstate, ok), outputs
+
+    (_, _, _, _, ok), outputs = jax.lax.scan(
+        body, (current, previous, states, rstate, jnp.asarray(True)),
+        jnp.arange(num_steps))
+    return {"outputs": outputs, "stable": ok}
+
+
 _run_waveguide_jit = jax.jit(
     run_waveguide, static_argnames=("dims", "num_steps", "dtype"))
+
+_run_waveguide_regions_jit = jax.jit(
+    run_waveguide_regions,
+    static_argnames=("dims", "num_steps", "regions", "dtype"))
+
+
+def execute(mesh: Mesh, source, receiver, num_steps: int,
+            dtype=jnp.float32) -> dict:
+    """Run the mesh with the fastest applicable boundary path."""
+    if mesh.regions is not None:
+        return _run_waveguide_regions_jit(
+            mesh.structure, mesh.descriptor.dimensions, source, receiver,
+            num_steps, tuple(mesh.regions), dtype)
+    return _run_waveguide_jit(mesh.structure, mesh.descriptor.dimensions,
+                              source, receiver, num_steps, dtype)
 
 
 def canonical(mesh: Mesh, source_position, receiver_position,
@@ -156,8 +229,7 @@ def canonical(mesh: Mesh, source_position, receiver_position,
     receiver = make_directional_receiver(
         desc, fs, environment.ambient_density, desc.position(rcv_loc))
 
-    result = _run_waveguide_jit(mesh.structure, desc.dimensions, source,
-                                receiver, num_steps, dtype)
+    result = execute(mesh, source, receiver, num_steps, dtype)
     intensity, pressure = result["outputs"]
     return WaveguideOutput(pressure=pressure, intensity=intensity,
                            sample_rate=fs, stable=result["stable"])
