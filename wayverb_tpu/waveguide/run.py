@@ -125,11 +125,18 @@ class WaveguideOutput:
 
 
 def run_waveguide(structure: MeshStructure, dims, source, receiver,
-                  num_steps: int, dtype=jnp.float32) -> dict:
+                  num_steps: int, dtype=jnp.float32,
+                  checkpoint_every: int = 0) -> dict:
     """Scan the mesh ``num_steps`` steps.  Jit-compatible core.
 
     ``source`` must expose ``inject(field_flat, t)``; ``receiver`` must
     expose ``init_state()`` and ``tap(field_flat, state)``.
+
+    ``checkpoint_every``: when > 0, the scan nests into outer segments of
+    that many steps with ``jax.checkpoint`` on each segment — reverse-mode
+    memory drops from O(num_steps) pressure fields to
+    O(num_steps/k + k) at the cost of one forward recompute (SURVEY §7
+    hard part (b): differentiating through 10⁴–10⁵ timesteps).
     """
     num_nodes = dims[0] * dims[1] * dims[2]
     current = jnp.zeros(dims, dtype=dtype)
@@ -146,10 +153,25 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
         ok = ok & jnp.all(jnp.isfinite(nxt))
         return (nxt, current, fstate, rstate, ok), outputs
 
-    (_, _, _, _, ok), outputs = jax.lax.scan(
-        body, (current, previous, fstate, rstate, jnp.asarray(True)),
-        jnp.arange(num_steps))
-    return {"outputs": outputs, "stable": ok}
+    init = (current, previous, fstate, rstate, jnp.asarray(True))
+    if checkpoint_every and num_steps > checkpoint_every:
+        k = checkpoint_every
+        num_segments = -(-num_steps // k)
+        padded = num_segments * k
+
+        @jax.checkpoint
+        def segment(carry, t0):
+            return jax.lax.scan(
+                lambda c, i: body(c, t0 + i), carry, jnp.arange(k))
+
+        carry, outputs = jax.lax.scan(
+            segment, init, jnp.arange(num_segments) * k)
+        outputs = jax.tree_util.tree_map(
+            lambda o: o.reshape((padded,) + o.shape[2:])[:num_steps],
+            outputs)
+    else:
+        carry, outputs = jax.lax.scan(body, init, jnp.arange(num_steps))
+    return {"outputs": outputs, "stable": carry[4]}
 
 
 def run_waveguide_regions(structure: MeshStructure, dims, source, receiver,
@@ -189,7 +211,8 @@ def run_waveguide_regions(structure: MeshStructure, dims, source, receiver,
 
 
 _run_waveguide_jit = jax.jit(
-    run_waveguide, static_argnames=("dims", "num_steps", "dtype"))
+    run_waveguide,
+    static_argnames=("dims", "num_steps", "dtype", "checkpoint_every"))
 
 _run_waveguide_regions_jit = jax.jit(
     run_waveguide_regions,
