@@ -54,10 +54,13 @@ class RaytracerParameters:
 
 @dataclasses.dataclass(frozen=True)
 class WaveguideParameters:
-    """Parity: waveguide/simulation_parameters.h (single band)."""
+    """Parity: waveguide/simulation_parameters.h — ``bands=1`` is the
+    single-band mode; >1 reruns the mesh per band with flat coefficients
+    (multiple_band_constant_spacing_parameters)."""
 
     cutoff: float = 500.0
     usable_portion: float = 0.6
+    bands: int = 1
 
     @property
     def sample_rate(self) -> float:
@@ -125,12 +128,18 @@ class Engine:
 
         max_stochastic_time = trace_res.max_time()
 
-        wg_out = wgrun.canonical(self.mesh, source, receiver,
-                                 max_stochastic_time, env)
-        bands = [BandpassBand(
-            pressure=wg_out.pressure, intensity=wg_out.intensity,
-            sample_rate=wg_out.sample_rate,
-            valid_hz=(0.0, self.waveguide_params.cutoff))]
+        if self.waveguide_params.bands > 1:
+            bands = wgrun.canonical_multiband(
+                self.mesh, np.asarray(self.surfaces.absorption), source,
+                receiver, max_stochastic_time,
+                self.waveguide_params.bands, env)
+        else:
+            wg_out = wgrun.canonical(self.mesh, source, receiver,
+                                     max_stochastic_time, env)
+            bands = [BandpassBand(
+                pressure=wg_out.pressure, intensity=wg_out.intensity,
+                sample_rate=wg_out.sample_rate,
+                valid_hz=(0.0, self.waveguide_params.cutoff))]
 
         return CombinedResults(
             image_source=image_source,

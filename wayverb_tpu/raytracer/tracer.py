@@ -70,14 +70,15 @@ class TraceResults:
     histogram: Any          # (bins, az, el, bands) directional energy
     triangle_history: Any   # (depth, R) int32 — hit triangle or -1
     histogram_sample_rate: float
+    positions: Any = None   # (depth, R, 3) reflection points (visual mode)
 
     def tree_flatten(self):
-        return ((self.histogram, self.triangle_history),
+        return ((self.histogram, self.triangle_history, self.positions),
                 self.histogram_sample_rate)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        return cls(children[0], children[1], aux, children[2])
 
     def summed_histogram(self):
         """(bins, bands) energy histogram (directional summed out)."""
@@ -97,7 +98,8 @@ def trace(soup: TriangleSoup, surfaces: Surface, source, receiver, key,
           environment: Environment = Environment(),
           receiver_radius: float = DEFAULT_RECEIVER_RADIUS,
           histogram_sample_rate: float = DEFAULT_HISTOGRAM_SR,
-          max_image_source_order: int = 0) -> TraceResults:
+          max_image_source_order: int = 0,
+          capture_positions: bool = False) -> TraceResults:
     """Trace ``num_rays`` rays for ``depth`` bounces.
 
     ``surfaces``: (S, bands) material table indexed by ``soup.surfaces``.
@@ -210,13 +212,22 @@ def trace(soup: TriangleSoup, surfaces: Surface, source, receiver, key,
             prev_tri=jnp.where(alive, tri, carry["prev_tri"]),
             hist=hist,
         )
-        return new_carry, jnp.where(alive, tri, -1).astype(jnp.int32)
+        record = jnp.where(alive, tri, -1).astype(jnp.int32)
+        if capture_positions:
+            # per-bounce reflection points for visualisation (reference
+            # reflection_processor/visual.h); dead rays freeze in place
+            return new_carry, (record, new_carry["pos"])
+        return new_carry, record
 
-    carry, triangle_history = jax.lax.scan(
-        body, carry0, jnp.arange(depth))
+    carry, ys = jax.lax.scan(body, carry0, jnp.arange(depth))
+    if capture_positions:
+        triangle_history, positions = ys
+    else:
+        triangle_history, positions = ys, None
     return TraceResults(histogram=carry["hist"],
                         triangle_history=triangle_history,
-                        histogram_sample_rate=histogram_sample_rate)
+                        histogram_sample_rate=histogram_sample_rate,
+                        positions=positions)
 
 
 _trace_jit = jax.jit(
