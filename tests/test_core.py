@@ -163,3 +163,17 @@ class TestEnvironment:
         env = Environment()
         assert env.speed_of_sound == 340.0
         np.testing.assert_allclose(env.ambient_density, 400.0 / 340.0)
+
+
+def test_maximum_length_sequence():
+    """MLS autocorrelation: peak n at lag 0, exactly -1 at all other lags."""
+    import numpy as np
+    from wayverb_tpu.core.kernels import generate_maximum_length_sequence
+    for order in (4, 8, 12):
+        s = generate_maximum_length_sequence(order)
+        n = 2 ** order - 1
+        assert s.size == n
+        assert set(np.unique(s)) == {-1.0, 1.0}
+        ac = np.correlate(np.tile(s, 2), s, "valid")[:n]
+        assert ac[0] == n
+        assert np.allclose(ac[1:], -1.0)

@@ -9,6 +9,10 @@ the filename are taken as azimuth and elevation in degrees).  Produces an
 ``wayverb_tpu.core.hrtf.table_from_energies``.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import os
 import re

@@ -3,6 +3,10 @@
 bin/boundary_test + bin/fitted_boundary).  Prints a CSV of
 frequency, measured |R|, predicted |R|."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import sys
 

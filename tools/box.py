@@ -2,6 +2,10 @@
 """Shoebox early-IR comparison: traced+validated image sources vs the exact
 lattice solver (reference bin/box)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import numpy as np

@@ -3,6 +3,10 @@
 bin/level_match): the calibrated waveguide's direct-wave level must match
 the geometric solver's 1/r pressure at the same distance."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 

@@ -2,6 +2,10 @@
 """Measured vs Sabine reverb time for three shoebox rooms (reference
 bin/rt60: waveguide-only decays at absorption 0.1)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 

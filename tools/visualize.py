@@ -6,6 +6,10 @@ in its 3D scene view; this tool renders the same data to PNGs (the
 presentation layer of a headless framework).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import os
 

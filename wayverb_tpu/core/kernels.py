@@ -53,3 +53,37 @@ def gen_ricker(fc: float):
     delay = int(math.ceil(1.0 / fc))
     t = jnp.arange(2 * delay + 1, dtype=jnp.float32) - delay
     return ricker(t, fc)
+
+
+# LFSR feedback taps (Fibonacci form) yielding maximal periods 2^order − 1.
+_MLS_TAPS = {
+    2: (2, 1), 3: (3, 2), 4: (4, 3), 5: (5, 3), 6: (6, 5), 7: (7, 6),
+    8: (8, 6, 5, 4), 9: (9, 5), 10: (10, 7), 11: (11, 9),
+    12: (12, 11, 10, 4), 13: (13, 12, 11, 8), 14: (14, 13, 12, 2),
+    15: (15, 14), 16: (16, 15, 13, 4), 17: (17, 14), 18: (18, 11),
+    19: (19, 18, 17, 14), 20: (20, 17),
+}
+
+
+def generate_maximum_length_sequence(order: int):
+    """±1 maximum-length sequence of length 2^order − 1.
+
+    Parity: reference ``core::generate_maximum_length_sequence`` as used by
+    ``bin/solution_growth/solution_growth.cpp`` (make_mls) to probe the mesh
+    for unstable solution growth with a broadband flat-spectrum input.
+    """
+    import numpy as np
+    if order not in _MLS_TAPS:
+        raise ValueError(f"MLS order {order} unsupported (2..20)")
+    taps = _MLS_TAPS[order]
+    state = np.ones(order, dtype=np.int8)
+    n = (1 << order) - 1
+    out = np.empty(n, dtype=np.float32)
+    for i in range(n):
+        out[i] = 2.0 * state[-1] - 1.0
+        fb = 0
+        for t in taps:
+            fb ^= int(state[t - 1])
+        state[1:] = state[:-1]
+        state[0] = fb
+    return out

@@ -39,6 +39,29 @@ class NodeReceiver:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class MultiNodeReceiver:
+    """Pressure taps at several nodes at once (reference
+    ``bin/waveguide_distance_test`` builds one ``postprocessor::node`` per
+    receiver; here one gather serves them all)."""
+
+    node_idx: Any          # (N,) flat indices
+
+    def tree_flatten(self):
+        return (self.node_idx,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def init_state(self, dtype=jnp.float32):
+        return ()
+
+    def tap(self, field_flat, state):
+        return state, field_flat[self.node_idx]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class DirectionalReceiver:
     """Velocity-integrating intensity probe at one mesh node."""
 
