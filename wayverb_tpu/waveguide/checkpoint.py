@@ -32,7 +32,11 @@ class WaveguideState:
 
 def initial_state(mesh: Mesh, receiver, dtype=jnp.float32) -> WaveguideState:
     dims = mesh.descriptor.dimensions
-    if mesh.regions is not None:
+    if mesh.box_spec is not None:
+        from wayverb_tpu.waveguide.box_fused import initial_box_boundary
+        bstate = initial_box_boundary(mesh.box_spec,
+                                      mesh.structure.filter_order, dtype)
+    elif mesh.regions is not None:
         from wayverb_tpu.waveguide.box_boundary import initial_region_states
         bstate = tuple(initial_region_states(
             list(mesh.regions), mesh.structure.filter_order, dtype))
@@ -48,8 +52,14 @@ def initial_state(mesh: Mesh, receiver, dtype=jnp.float32) -> WaveguideState:
     )
 
 
-def _chunk_fn(structure, dims, regions, source, receiver, carry, offsets):
+def _chunk_fn(structure, dims, regions, box_spec, source, receiver, carry,
+              offsets):
     num_nodes = dims[0] * dims[1] * dims[2]
+
+    if box_spec is not None:
+        from wayverb_tpu.waveguide.box_fused import make_box_body
+        box_body = make_box_body(structure, box_spec, source, receiver)
+        return jax.lax.scan(box_body, carry, offsets)
 
     def body(c, t):
         current, previous, bstate, rstate, ok = c
@@ -76,7 +86,7 @@ def _chunk_fn(structure, dims, regions, source, receiver, carry, offsets):
 
 
 _chunk_jit = jax.jit(_chunk_fn,
-                     static_argnames=("dims", "regions"))
+                     static_argnames=("dims", "regions", "box_spec"))
 
 
 def run_chunk(mesh: Mesh, source, receiver, state: WaveguideState,
@@ -85,10 +95,13 @@ def run_chunk(mesh: Mesh, source, receiver, state: WaveguideState,
     carry = (state.current, state.previous, state.boundary_state,
              state.receiver_state, state.stable)
     offsets = jnp.arange(state.step, state.step + num_steps)
-    regions = tuple(mesh.regions) if mesh.regions is not None else None
+    regions = None
+    if mesh.box_spec is None and mesh.regions is not None:
+        regions = tuple(mesh.regions)
     carry, outputs = _chunk_jit(mesh.structure,
                                 mesh.descriptor.dimensions, regions,
-                                source, receiver, carry, offsets)
+                                mesh.box_spec, source, receiver, carry,
+                                offsets)
     current, previous, bstate, rstate, ok = carry
     return WaveguideState(current=current, previous=previous,
                           boundary_state=bstate, receiver_state=rstate,

@@ -121,7 +121,10 @@ def descriptor_for_box(box: Box, spacing: float,
     are outside the scene and inert) — used for TPU tile alignment."""
     lo = np.asarray(box.min_corner, dtype=np.float64)
     hi = np.asarray(box.max_corner, dtype=np.float64)
-    dims = [int(d) for d in np.floor((hi - lo) / spacing) + 1]
+    # tolerant floor: (hi−lo)/spacing is an exact integer by construction of
+    # compute_adjusted_boundary; float error must not drop the last (outside
+    # margin) plane, which the fused box solver's clamped halo reads rely on
+    dims = [int(d) for d in np.floor((hi - lo) / spacing * (1 + 1e-9)) + 1]
     if align is not None:
         dims = [-(-d // a) * a for d, a in zip(dims, align)]
     return MeshDescriptor(tuple(lo), tuple(dims), float(spacing))

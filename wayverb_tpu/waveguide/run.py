@@ -42,9 +42,10 @@ from wayverb_tpu.waveguide.stencil import waveguide_step
 class Mesh:
     """Descriptor + device structure + bookkeeping for one scene.
 
-    ``regions``: when the scene decomposes into rectangular boundary
-    regions (shoeboxes), the solver uses the gather-free slice-based
-    boundary path (box_boundary.py) — much faster on TPU.
+    ``box_spec``: for shoebox scenes, the static geometry driving the fused
+    plane-boundary solver (box_fused.py) — the fast path on TPU.
+    ``regions``: the older gather-free region decomposition, kept as a
+    second oracle for the plane path (box_boundary.py).
     """
 
     descriptor: MeshDescriptor
@@ -52,6 +53,7 @@ class Mesh:
     inside: np.ndarray       # host copy for placement checks
     room_volume: float
     regions: Optional[list] = None
+    box_spec: Optional[Any] = None
 
     def require_inside(self, position) -> np.ndarray:
         loc = self.descriptor.locator(position)
@@ -98,8 +100,10 @@ def compute_mesh(soup: TriangleSoup, surface_absorption, spacing: float,
     structure = build_structure(desc, inside, soup, coef_b, coef_a)
 
     regions = None
+    box_spec = None
     if scene_box is not None:
         from wayverb_tpu.waveguide.box_boundary import shoebox_regions
+        from wayverb_tpu.waveguide.box_fused import spec_from_inside
         from wayverb_tpu.waveguide.setup import _closest_triangle_surface
         # surface per face from the closest triangle to each face centre
         centre = np.asarray(scene_box.centre())
@@ -111,9 +115,14 @@ def compute_mesh(soup: TriangleSoup, surface_absorption, spacing: float,
             face_centres[2 * axis + 1, axis] += dims_m[axis] / 2
         face_surfaces = _closest_triangle_surface(face_centres, soup)
         regions = shoebox_regions(inside, face_surfaces)
+        try:
+            box_spec = spec_from_inside(inside, face_surfaces)
+        except ValueError:
+            box_spec = None   # degenerate box: fall back to region path
 
     return Mesh(descriptor=desc, structure=structure, inside=inside,
-                room_volume=estimate_volume(desc, inside), regions=regions)
+                room_volume=estimate_volume(desc, inside), regions=regions,
+                box_spec=box_spec)
 
 
 @dataclasses.dataclass
@@ -210,9 +219,50 @@ def run_waveguide_regions(structure: MeshStructure, dims, source, receiver,
     return {"outputs": outputs, "stable": ok}
 
 
+def run_waveguide_box(structure: MeshStructure, spec, source, receiver,
+                      num_steps: int, dtype=jnp.float32,
+                      state_dtype=None, checkpoint_every: int = 0) -> dict:
+    """Scan using the fused plane-boundary path (box_fused.py).
+
+    The fastest solver: boundary work is six dense 2-D plane updates (pure
+    JAX, differentiable) and the interior stencil + plane splice is one
+    Pallas kernel (jnp fallback off-TPU).  ``state_dtype`` optionally runs
+    the IIR filter state in a wider dtype than the field (the reference
+    mandates double for filter state, ``cl/filter_structs.h:14``; the plane
+    state is O(n²) so f64 costs little here).
+    """
+    from wayverb_tpu.waveguide.box_fused import (initial_box_carry,
+                                                 make_box_body)
+    body = make_box_body(structure, spec, source, receiver)
+    init = initial_box_carry(structure, spec, receiver, dtype, state_dtype)
+    if checkpoint_every and num_steps > checkpoint_every:
+        k = checkpoint_every
+        num_segments = -(-num_steps // k)
+        padded = num_segments * k
+
+        @jax.checkpoint
+        def segment(carry, t0):
+            return jax.lax.scan(
+                lambda c, i: body(c, t0 + i), carry, jnp.arange(k))
+
+        carry, outputs = jax.lax.scan(
+            segment, init, jnp.arange(num_segments) * k)
+        outputs = jax.tree_util.tree_map(
+            lambda o: o.reshape((padded,) + o.shape[2:])[:num_steps],
+            outputs)
+    else:
+        carry, outputs = jax.lax.scan(body, init, jnp.arange(num_steps))
+    return {"outputs": outputs, "stable": carry[4]}
+
+
 _run_waveguide_jit = jax.jit(
     run_waveguide,
     static_argnames=("dims", "num_steps", "dtype", "checkpoint_every"))
+
+_run_waveguide_box_jit = jax.jit(
+    run_waveguide_box,
+    static_argnames=("spec", "num_steps", "dtype", "state_dtype",
+                     "checkpoint_every"))
 
 _run_waveguide_regions_jit = jax.jit(
     run_waveguide_regions,
@@ -222,6 +272,10 @@ _run_waveguide_regions_jit = jax.jit(
 def execute(mesh: Mesh, source, receiver, num_steps: int,
             dtype=jnp.float32) -> dict:
     """Run the mesh with the fastest applicable boundary path."""
+    if mesh.box_spec is not None:
+        return _run_waveguide_box_jit(
+            mesh.structure, mesh.box_spec, source, receiver, num_steps,
+            dtype)
     if mesh.regions is not None:
         return _run_waveguide_regions_jit(
             mesh.structure, mesh.descriptor.dimensions, source, receiver,

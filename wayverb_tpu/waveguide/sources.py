@@ -22,6 +22,22 @@ import numpy as np
 from wayverb_tpu.waveguide.descriptor import MeshDescriptor
 
 
+def _unravel(flat_idx, dims):
+    """flat (C-order) → (x, y, z) coordinates, traced-compatible."""
+    yz = dims[1] * dims[2]
+    x = flat_idx // yz
+    rem = flat_idx % yz
+    return x, rem // dims[2], rem % dims[2]
+
+
+def _plane_uv(x, y, z, axis):
+    if axis == 0:
+        return y, z
+    if axis == 1:
+        return x, z
+    return x, y
+
+
 def rectilinear_calibration_factor(grid_spacing: float,
                                    acoustic_impedance: float) -> float:
     """Level-matching injection scale (siltanen2013; calibration.h)."""
@@ -47,6 +63,23 @@ class HardSource:
     def inject(self, field_flat, t):
         return field_flat.at[self.node_idx].set(self.signal[t])
 
+    def patch_plane(self, plane, axis, coord, dims, t):
+        """Mirror the injection onto a carried 2-D plane of the field
+        (box_fused solver: the inner planes are carried, not re-sliced)."""
+        x, y, z = _unravel(self.node_idx, dims)
+        u, v = _plane_uv(x, y, z, axis)
+        on = (x, y, z)[axis] == coord
+        return plane.at[u, v].set(
+            jnp.where(on, self.signal[t].astype(plane.dtype), plane[u, v]))
+
+    def kernel_injection(self, dims, t):
+        """(inj_idx, inj_val) for the fused kernel's in-kernel injection."""
+        x, y, z = _unravel(self.node_idx, dims)
+        idx = jnp.stack([x, y, z, jnp.ones_like(x)]).astype(jnp.int32)
+        v = self.signal[t]
+        vp = jnp.where(t > 0, self.signal[jnp.maximum(t - 1, 0)], 0.0)
+        return idx, jnp.stack([v, vp]).astype(jnp.float32)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +98,21 @@ class SoftSource:
 
     def inject(self, field_flat, t):
         return field_flat.at[self.node_idx].add(self.signal[t])
+
+    def patch_plane(self, plane, axis, coord, dims, t):
+        x, y, z = _unravel(self.node_idx, dims)
+        u, v = _plane_uv(x, y, z, axis)
+        on = (x, y, z)[axis] == coord
+        return plane.at[u, v].add(
+            jnp.where(on, self.signal[t], 0.0).astype(plane.dtype))
+
+    def kernel_injection(self, dims, t):
+        """(inj_idx, inj_val) for the fused kernel's in-kernel injection."""
+        x, y, z = _unravel(self.node_idx, dims)
+        idx = jnp.stack([x, y, z, 2 * jnp.ones_like(x)]).astype(jnp.int32)
+        v = self.signal[t]
+        vp = jnp.where(t > 0, self.signal[jnp.maximum(t - 1, 0)], 0.0)
+        return idx, jnp.stack([v, vp]).astype(jnp.float32)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -86,6 +134,14 @@ class GaussianSource:
     def inject(self, field_flat, t):
         return field_flat.at[self.node_indices].add(
             self.weights * self.signal[t])
+
+    def patch_plane(self, plane, axis, coord, dims, t):
+        x, y, z = _unravel(self.node_indices, dims)
+        u, v = _plane_uv(x, y, z, axis)
+        on = (x, y, z)[axis] == coord
+        return plane.at[u, v].add(
+            (jnp.where(on, self.weights, 0.0)
+             * self.signal[t]).astype(plane.dtype))
 
 
 def make_gaussian_source(desc: MeshDescriptor, centre, sdev: float,
