@@ -1,14 +1,20 @@
-"""Benchmark: waveguide mesh node-updates/s on one chip.
+"""Benchmark: waveguide fwd/bwd node-updates/s, rays/s, weak scaling.
 
 Prints ONE JSON line:
   {"metric": "waveguide_node_updates_per_s_per_chip", "value": N,
-   "unit": "updates/s", "vs_baseline": N, "extra": {...}}
+   "unit": "updates/s", "vs_baseline": N,
+   "waveguide_fwd": N, "waveguide_bwd": N, "rays_per_s": N,
+   "weak_scaling_eff": N, "errors": {...}, "extra": {...}}
 
-``vs_baseline`` is measured vs the HBM speed-of-light estimate for the
-stencil (the reference publishes no throughput numbers — BASELINE.md — so
-roofline fraction is the honest denominator): 3 × 4 B per node update
-(read current + previous, write next; neighbour reads hit cache/fusion)
-against the chip's HBM bandwidth.
+Every section runs under its own try/except: one failing section records an
+``errors[section]`` string instead of killing the whole bench (round 2's
+backward OOM produced rc=1 and NO numbers — never again).
+
+``vs_baseline`` is the forward waveguide throughput vs the HBM
+speed-of-light estimate for the stencil (the reference publishes no
+throughput numbers — BASELINE.md — so roofline fraction is the honest
+denominator): 3 × 4 B per node update (read current + previous, write next;
+neighbour reads hit the rolling VMEM window) against chip HBM bandwidth.
 
 Timing methodology: on the axon-tunnelled TPU, ``block_until_ready`` does
 NOT reliably block and fresh computations pay a ~100 s remote compile, so
@@ -19,7 +25,11 @@ tunnel latency to <3 %.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -57,7 +67,7 @@ def _time_scalar_fn(fn, reps=3):
     return (time.perf_counter() - t0) / reps, v
 
 
-def bench_waveguide(platform):
+def bench_waveguide_forward(platform):
     import jax
     import jax.numpy as jnp
     from wayverb_tpu.core.geometry import Box
@@ -105,21 +115,33 @@ def bench_waveguide(platform):
         return outputs[-1] + 0.0 * carry[0][8, 8, 8]
 
     dt, _ = _time_scalar_fn(forward)
-    fwd_updates = num_nodes * steps / dt
+    ctx = dict(mesh=mesh, source=source, receiver=receiver,
+               num_nodes=num_nodes, steps=steps)
+    return num_nodes * steps / dt, ctx
 
-    # backward: value_and_grad w.r.t. the material filter coefficients
-    # through a checkpointed scan (BASELINE: backward stencil throughput)
+
+def bench_waveguide_backward(platform, ctx):
+    """value_and_grad w.r.t. material filter coefficients through a
+    checkpointed scan (BASELINE: backward stencil throughput)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from wayverb_tpu.waveguide.box_fused import (initial_box_carry,
+                                                 make_box_body)
+    from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
+
+    mesh, receiver = ctx["mesh"], ctx["receiver"]
+    steps = ctx["steps"]
     bwd_steps = steps // 4 if platform != "cpu" else steps
-    grad_body_src = HardSource(
-        node_idx=source.node_idx, signal=impulse_signal(bwd_steps, 1.0))
+    grad_src = HardSource(
+        node_idx=ctx["source"].node_idx,
+        signal=impulse_signal(bwd_steps, 1.0))
 
     def loss(coef_b):
-        import dataclasses as dc
         structure = dc.replace(mesh.structure, coef_b=coef_b)
-        body = make_box_body(structure, mesh.box_spec, grad_body_src,
-                             receiver, kernel_inject=False)
+        body = make_box_body(structure, mesh.box_spec, grad_src, receiver)
         init = initial_box_carry(structure, mesh.box_spec, receiver)
-
         seg = max(1, bwd_steps // 8)
 
         @jax.checkpoint
@@ -138,25 +160,118 @@ def bench_waveguide(platform):
         return jnp.sum(gfn(mesh.structure.coef_b))
 
     dt_b, _ = _time_scalar_fn(fwdbwd, reps=2)
-    bwd_updates = num_nodes * bwd_steps / dt_b
-    return fwd_updates, bwd_updates
+    return ctx["num_nodes"] * bwd_steps / dt_b
+
+
+def bench_rays(platform):
+    """Stochastic tracer throughput (ray·bounces/s) on a procedural hall."""
+    import jax
+    import jax.numpy as jnp
+    from wayverb_tpu.core.surfaces import Surface
+    from wayverb_tpu.raytracer.tracer import trace
+    from wayverb_tpu.raytracer.scenes import procedural_hall
+
+    num_rays = 1 << 16 if platform != "cpu" else 1 << 12
+    depth = 40 if platform != "cpu" else 8
+    soup, n_tris = procedural_hall()
+    surfaces = Surface(
+        absorption=jnp.full((1, 8), 0.1),
+        scattering=jnp.full((1, 8), 0.1))
+    source = (2.0, 1.7, 3.0)
+    rcv = (6.0, 1.9, 9.0)
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def run():
+        res = trace(soup, surfaces, source, rcv, key, num_rays=num_rays,
+                    depth=depth, max_time=1.0)
+        return jnp.sum(res.histogram)
+
+    dt, total = _time_scalar_fn(run, reps=2)
+    if not np.isfinite(total) or total <= 0:
+        raise RuntimeError(f"hall trace deposited no energy ({total})")
+    return num_rays * depth / dt, n_tris
+
+
+def bench_weak_scaling():
+    """Sharded-waveguide weak-scaling efficiency on virtual CPU devices.
+
+    Runs tools/bench/weak_scaling.py in subprocesses (the host process owns
+    the TPU platform; the sweep needs JAX_PLATFORMS=cpu with N forced host
+    devices).  Efficiency = T(1 shard) / T(8 shards) at constant per-shard
+    mesh size — ICI halo-exchange overhead is the quantity of interest;
+    real multi-chip hardware is unavailable (one tunnelled v5e chip).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "bench",
+                                      "weak_scaling.py")],
+        capture_output=True, text=True, timeout=1500,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if out.returncode != 0:
+        raise RuntimeError(f"weak_scaling.py rc={out.returncode}: "
+                           f"{out.stderr[-500:]}")
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    return data["efficiency"], data
 
 
 def main():
-    platform = detect_platform()
-    fwd, bwd = bench_waveguide(platform)
+    metrics = {}
+    errors = {}
+    extra = {}
+
+    try:
+        platform = detect_platform()
+    except Exception:
+        platform = "cpu"
+        errors["platform"] = traceback.format_exc(limit=2)
+    extra["platform"] = platform
     sol = HBM_BW[platform] / BYTES_PER_NODE
+    extra["speed_of_light_updates_per_s"] = sol
+
+    ctx = None
+    try:
+        fwd, ctx = bench_waveguide_forward(platform)
+        metrics["waveguide_fwd"] = fwd
+    except Exception:
+        errors["waveguide_fwd"] = traceback.format_exc(limit=4)
+
+    if ctx is not None:
+        try:
+            metrics["waveguide_bwd"] = bench_waveguide_backward(platform,
+                                                                ctx)
+        except Exception:
+            errors["waveguide_bwd"] = traceback.format_exc(limit=4)
+
+    try:
+        rays, n_tris = bench_rays(platform)
+        metrics["rays_per_s"] = rays
+        extra["hall_triangles"] = n_tris
+    except Exception:
+        errors["rays_per_s"] = traceback.format_exc(limit=4)
+
+    try:
+        eff, detail = bench_weak_scaling()
+        metrics["weak_scaling_eff"] = eff
+        extra["weak_scaling"] = detail
+    except Exception:
+        errors["weak_scaling_eff"] = traceback.format_exc(limit=4)
+
+    fwd = metrics.get("waveguide_fwd", 0.0)
+    bwd = metrics.get("waveguide_bwd")
+    if fwd and bwd:
+        extra["backward_vs_forward"] = bwd / fwd
     print(json.dumps({
         "metric": "waveguide_node_updates_per_s_per_chip",
         "value": fwd,
         "unit": "updates/s",
         "vs_baseline": fwd / sol,
-        "extra": {
-            "backward_node_updates_per_s_per_chip": bwd,
-            "backward_vs_forward": bwd / fwd,
-            "platform": platform,
-            "speed_of_light_updates_per_s": sol,
-        },
+        "waveguide_fwd": metrics.get("waveguide_fwd"),
+        "waveguide_bwd": metrics.get("waveguide_bwd"),
+        "rays_per_s": metrics.get("rays_per_s"),
+        "weak_scaling_eff": metrics.get("weak_scaling_eff"),
+        "errors": errors,
+        "extra": extra,
     }))
 
 

@@ -84,9 +84,16 @@ class TestFusedParity:
 
     def test_f64_state_close_to_f32(self):
         """Wider filter state must not change the physics (drift study for
-        the reference's double-precision filter state mandate)."""
-        from wayverb_tpu.waveguide.run import run_waveguide_box
+        the reference's double-precision filter state mandate).
+
+        Runs under jax_enable_x64 so float64 is REAL (without it the state
+        silently truncates to f32 and the comparison is vacuous — ADVICE
+        r2); asserts the state dtype actually widened.
+        """
+        from wayverb_tpu.waveguide.box_fused import (initial_box_carry,
+                                                     make_box_body)
         from wayverb_tpu.waveguide.receivers import NodeReceiver
+        from wayverb_tpu.waveguide.run import run_waveguide_box
         from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
         box, mesh = small_box_mesh()
         desc = mesh.descriptor
@@ -97,12 +104,17 @@ class TestFusedParity:
             signal=impulse_signal(400, 1.0))
         receiver = NodeReceiver(
             node_idx=jnp.asarray(desc.flat_index(rcv), dtype=jnp.int32))
-        o32 = run_waveguide_box(mesh.structure, mesh.box_spec, source,
-                                receiver, 400)
-        o64 = run_waveguide_box(mesh.structure, mesh.box_spec, source,
-                                receiver, 400, state_dtype=jnp.float64)
-        np.testing.assert_allclose(np.asarray(o32["outputs"]),
-                                   np.asarray(o64["outputs"]), atol=1e-5)
+        with jax.enable_x64(True):
+            init = initial_box_carry(mesh.structure, mesh.box_spec,
+                                     receiver, jnp.float32, jnp.float64)
+            assert init[2][3].dtype == jnp.float64   # stacked filter state
+            o32 = run_waveguide_box(mesh.structure, mesh.box_spec, source,
+                                    receiver, 400)
+            o64 = run_waveguide_box(mesh.structure, mesh.box_spec, source,
+                                    receiver, 400, state_dtype=jnp.float64)
+            np.testing.assert_allclose(np.asarray(o32["outputs"]),
+                                       np.asarray(o64["outputs"]),
+                                       atol=1e-5)
 
 
 def _random_problem(rng, dims=(16, 16, 128)):
@@ -166,6 +178,121 @@ class TestPallasKernel:
                             jax.tree_util.tree_leaves(gr)):
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-4)
+
+
+class TestInjectionSemantics:
+    """Fused-path injection must match the gather oracle in every placement
+    the ADVICE r2 findings flagged: receiver at the source node, Gaussian
+    support touching a wall, and gradients through the default kernel-inject
+    configuration."""
+
+    def test_receiver_at_source_node(self):
+        """Kernel-inject taps must read POST-injection pressure."""
+        from wayverb_tpu.waveguide.receivers import NodeReceiver
+        from wayverb_tpu.waveguide.run import run_waveguide_box
+        from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
+        _, mesh = small_box_mesh()
+        desc = mesh.descriptor
+        src = mesh.require_inside((0.7, 0.8, 0.5))
+        node = jnp.asarray(desc.flat_index(src), dtype=jnp.int32)
+        source = HardSource(node_idx=node, signal=impulse_signal(60, 1.0))
+        receiver = NodeReceiver(node_idx=node)
+        o_k = run_waveguide_box(mesh.structure, mesh.box_spec, source,
+                                receiver, 60)
+        o_x = run_waveguide_box(mesh.structure, mesh.box_spec, source,
+                                receiver, 60, kernel_inject=False)
+        np.testing.assert_allclose(np.asarray(o_k["outputs"]),
+                                   np.asarray(o_x["outputs"]), atol=1e-6)
+        # step 0 must see the injected impulse, not the zero field
+        assert abs(float(o_k["outputs"][0]) - 1.0) < 1e-6
+
+    def test_gaussian_source_near_wall_matches_gather(self):
+        """A Gaussian ball within support radius of a wall must agree with
+        the gather oracle (support clipped to inside nodes on both paths)."""
+        from wayverb_tpu.waveguide.receivers import NodeReceiver
+        from wayverb_tpu.waveguide.run import (_run_waveguide_jit,
+                                               run_waveguide_box)
+        from wayverb_tpu.waveguide.sources import make_gaussian_source
+        _, mesh = small_box_mesh()
+        desc = mesh.descriptor
+        spec = mesh.box_spec
+        # centre 2 cells from the low-x wall with 4-cell support
+        near_wall = desc.position(np.array([spec.ilo[0] + 2,
+                                            spec.ilo[1] + 6,
+                                            spec.ilo[2] + 6]))
+        sig = np.zeros(80, np.float32)
+        sig[:8] = np.hanning(8)
+        source = make_gaussian_source(desc, tuple(near_wall), 3 * DX, sig,
+                                      inside=mesh.inside)
+        rcv = mesh.require_inside((0.7, 0.8, 1.3))
+        receiver = NodeReceiver(
+            node_idx=jnp.asarray(desc.flat_index(rcv), dtype=jnp.int32))
+        o_f = run_waveguide_box(mesh.structure, spec, source, receiver, 80)
+        o_g = _run_waveguide_jit(mesh.structure, desc.dimensions, source,
+                                 receiver, 80)
+        np.testing.assert_allclose(np.asarray(o_f["outputs"]),
+                                   np.asarray(o_g["outputs"]),
+                                   rtol=1e-5, atol=2e-5)
+
+    def test_grad_through_default_box_path(self):
+        """jax.grad w.r.t. material coefficients through run_waveguide_box's
+        DEFAULT configuration (kernel_inject=True) must match the
+        kernel_inject=False path and finite differences."""
+        from wayverb_tpu.waveguide.receivers import NodeReceiver
+        from wayverb_tpu.waveguide.run import run_waveguide_box
+        from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
+        _, mesh = small_box_mesh()
+        desc = mesh.descriptor
+        src = mesh.require_inside((0.7, 0.8, 0.5))
+        rcv = mesh.require_inside((0.7, 0.8, 1.3))
+        source = HardSource(
+            node_idx=jnp.asarray(desc.flat_index(src), dtype=jnp.int32),
+            signal=impulse_signal(90, 1.0))
+        receiver = NodeReceiver(
+            node_idx=jnp.asarray(desc.flat_index(rcv), dtype=jnp.int32))
+
+        def loss(coef_b, kernel_inject):
+            structure = dataclasses.replace(mesh.structure, coef_b=coef_b)
+            out = run_waveguide_box(structure, mesh.box_spec, source,
+                                    receiver, 90,
+                                    kernel_inject=kernel_inject)
+            return jnp.sum(out["outputs"] ** 2)
+
+        cb = mesh.structure.coef_b
+        g_kern = jax.grad(lambda c: loss(c, True))(cb)
+        g_xla = jax.grad(lambda c: loss(c, False))(cb)
+        np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_xla),
+                                   rtol=1e-4, atol=1e-8)
+        # finite-difference check on the largest-|grad| coefficient
+        flat = np.abs(np.asarray(g_kern)).ravel()
+        k = int(np.argmax(flat))
+        eps = 1e-3
+        e = jnp.zeros_like(cb).reshape(-1).at[k].set(eps).reshape(cb.shape)
+        fd = (float(loss(cb + e, True)) - float(loss(cb - e, True))) \
+            / (2 * eps)
+        assert abs(fd - float(np.asarray(g_kern).ravel()[k])) <= \
+            2e-3 * max(1.0, abs(fd))
+
+    def test_interior_nan_flagged(self):
+        """A NaN injected in the interior must flip ``stable`` (the per-step
+        check covers only boundary planes; the final full-field reduction
+        in run_waveguide_box is the interior net)."""
+        from wayverb_tpu.waveguide.receivers import NodeReceiver
+        from wayverb_tpu.waveguide.run import run_waveguide_box
+        from wayverb_tpu.waveguide.sources import SoftSource
+        _, mesh = small_box_mesh()
+        desc = mesh.descriptor
+        src = mesh.require_inside((0.7, 0.8, 0.9))
+        rcv = mesh.require_inside((0.7, 0.8, 1.3))
+        sig = jnp.zeros(6).at[2].set(jnp.nan)
+        source = SoftSource(
+            node_idx=jnp.asarray(desc.flat_index(src), dtype=jnp.int32),
+            signal=sig)
+        receiver = NodeReceiver(
+            node_idx=jnp.asarray(desc.flat_index(rcv), dtype=jnp.int32))
+        out = run_waveguide_box(mesh.structure, mesh.box_spec, source,
+                                receiver, 6)
+        assert not bool(out["stable"])
 
 
 class TestPlaneStep:

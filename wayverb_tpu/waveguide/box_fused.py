@@ -178,96 +178,182 @@ def plane_boundary_step(cur, prev, states: Sequence[Any], spec: BoxSpec,
                                       face_b, face_a)
 
 
+def stacked_plane_shape(spec: BoxSpec) -> Tuple[int, int]:
+    """Uniform (Umax, Vmax) every plane pads to for the stacked update."""
+    shapes = [spec.plane_shape(p) for p in range(6)]
+    return (max(s[0] for s in shapes), max(s[1] for s in shapes))
+
+
+def stack_planes(planes6, spec: BoxSpec, dtype=None):
+    """6-tuple of (U_p, V_p[, ...]) planes → one (6, Umax, Vmax[, ...])."""
+    Umax, Vmax = stacked_plane_shape(spec)
+
+    def pad(x, p):
+        U, V = spec.plane_shape(p)
+        if dtype is not None:
+            x = x.astype(dtype)
+        widths = ((0, Umax - U), (0, Vmax - V)) + ((0, 0),) * (x.ndim - 2)
+        return jnp.pad(x, widths)
+
+    return jnp.stack([pad(planes6[p], p) for p in range(6)])
+
+
+def unstack_planes(stack, spec: BoxSpec, dtype=None):
+    """(6, Umax, Vmax[, ...]) → 6-tuple of true-shape planes."""
+    out = []
+    for p in range(6):
+        U, V = spec.plane_shape(p)
+        x = stack[p, :U, :V]
+        out.append(x.astype(dtype) if dtype is not None else x)
+    return tuple(out)
+
+
+def _stacked_masks(spec: BoxSpec, Umax: int, Vmax: int):
+    """Static per-plane masks for the stacked update (compile-time consts).
+
+    act: active-region mask; w_um/up/vm/vp: neighbour weights encoding the
+    2×-ghost closure at in-plane box edges (program.cpp:331-388)."""
+    blo = tuple(spec.ilo[a] - 1 for a in range(3))
+    bhi = tuple(spec.ihi[a] + 1 for a in range(3))
+    act = np.zeros((6, Umax, Vmax), np.float32)
+    w = {k: np.zeros((6, Umax, Vmax), np.float32)
+         for k in ("um", "up", "vm", "vp")}
+    u = np.arange(Umax)[:, None]
+    v = np.arange(Vmax)[None, :]
+    for pi, (a, side) in enumerate(PLANES):
+        a1, a2 = _other_axes(a)
+        act[pi] = ((u >= blo[a1]) & (u <= bhi[a1]) &
+                   (v >= blo[a2]) & (v <= bhi[a2]))
+        w["um"][pi] = np.where(u == blo[a1], 0, np.where(u == bhi[a1], 2, 1))
+        w["up"][pi] = np.where(u == blo[a1], 2, np.where(u == bhi[a1], 0, 1))
+        w["vm"][pi] = np.where(v == blo[a2], 0, np.where(v == bhi[a2], 2, 1))
+        w["vp"][pi] = np.where(v == blo[a2], 2, np.where(v == bhi[a2], 0, 1))
+    return act, w
+
+
+def _shift_s(arr, axis: int, delta: int):
+    """Stacked variant of _shift on (6, U, V): axis ∈ {1, 2}."""
+    z = jnp.zeros_like(jax.lax.slice_in_dim(arr, 0, 1, axis=axis))
+    if delta == -1:
+        body = jax.lax.slice_in_dim(arr, 0, arr.shape[axis] - 1, axis=axis)
+        return jnp.concatenate([z, body], axis=axis)
+    body = jax.lax.slice_in_dim(arr, 1, arr.shape[axis], axis=axis)
+    return jnp.concatenate([body, z], axis=axis)
+
+
+def plane_boundary_step_stacked(pl_s, in_s, prev_s, st_s, spec: BoxSpec,
+                                face_b, face_a):
+    """All six boundary-plane updates on stacked (6, Umax, Vmax) arrays.
+
+    One batched formulation of the per-plane math (reference
+    ``program.cpp:331-388`` boundary update + ``filters.cpp`` canonical DF2T
+    ghost-point advance): every elementwise op covers all six planes at
+    once, the edge/corner cross-plane coupling is static one-hot masks times
+    broadcast lines (no dynamic-update-slices — round 2's 24 `.at[]` ops per
+    step were the dominant XLA residue), and the padded region provably
+    stays zero (act = 0 there and the filter input is zero whenever
+    m0 = prev = new_p = 0).
+
+    ``face_b``/``face_a``: (6, order+1), traced (material gradients flow
+    through).  Returns (pplus_s (6, Umax, Vmax), new_st_s (6, U, V, order)).
+    """
+    sdtype = st_s.dtype
+    Umax, Vmax = pl_s.shape[1], pl_s.shape[2]
+    blo = tuple(spec.ilo[a] - 1 for a in range(3))
+    bhi = tuple(spec.ihi[a] + 1 for a in range(3))
+
+    act_np, w_np = _stacked_masks(spec, Umax, Vmax)
+    act = jnp.asarray(act_np, dtype=sdtype)
+    w = {k: jnp.asarray(v, dtype=sdtype) for k, v in w_np.items()}
+
+    pl_s = pl_s.astype(sdtype)
+    in_s = in_s.astype(sdtype)
+    prev_s = prev_s.astype(sdtype)
+
+    csw = COURANT_SQ * (2.0 * in_s
+                        + w["um"] * _shift_s(pl_s, 1, -1)
+                        + w["up"] * _shift_s(pl_s, 1, +1)
+                        + w["vm"] * _shift_s(pl_s, 2, -1)
+                        + w["vp"] * _shift_s(pl_s, 2, +1))
+
+    b0 = face_b[:, 0].astype(sdtype)           # (6,)
+    a0 = face_a[:, 0].astype(sdtype)
+    m0 = st_s[..., 0]                           # (6, Umax, Vmax)
+
+    # per-plane fw/cw with edge/corner coupling as static masks × lines
+    fw_planes, cw_planes = [], []
+    u1 = np.arange(Umax)[:, None]
+    v1 = np.arange(Vmax)[None, :]
+    for pi, (a, side) in enumerate(PLANES):
+        pc = blo[a] if side == 0 else bhi[a]
+        a1, a2 = _other_axes(a)
+        fw_p = m0[pi] / b0[pi]
+        cw_p = jnp.broadcast_to((a0[pi] / b0[pi])[None, None],
+                                (Umax, Vmax))
+        for edge_axis, addr in ((a1, "row"), (a2, "col")):
+            for s2 in (0, 1):
+                q = PLANES.index((edge_axis, s2))
+                qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
+                qa = _other_axes(edge_axis)
+                raw = m0[q, pc, :] if a == qa[0] else m0[q, :, pc]
+                if addr == "row":
+                    mask = jnp.asarray((u1 == qc) & (v1 >= 0), dtype=sdtype)
+                    tgt = Vmax
+                    line = raw if raw.shape[0] == tgt else (
+                        jnp.pad(raw[:tgt], (0, max(0, tgt - raw.shape[0]))))
+                    line_b = line[None, :]
+                else:
+                    mask = jnp.asarray((v1 == qc) & (u1 >= 0), dtype=sdtype)
+                    tgt = Umax
+                    line = raw if raw.shape[0] == tgt else (
+                        jnp.pad(raw[:tgt], (0, max(0, tgt - raw.shape[0]))))
+                    line_b = line[:, None]
+                fw_p = fw_p + mask * (line_b / b0[q])
+                cw_p = cw_p + mask * (a0[q] / b0[q])
+        fw_planes.append(fw_p)
+        cw_planes.append(cw_p)
+    fw = jnp.stack(fw_planes)
+    cw = COURANT * jnp.stack(cw_planes)
+
+    new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_s) / (1.0 + cw)
+
+    # ghost-point DF2T state advance (each plane advances its own slot)
+    a0b = a0[:, None, None]
+    b0b = b0[:, None, None]
+    delta = prev_s - new_p
+    filt_in = -((a0b * delta) / (b0b * COURANT) + m0 / b0b)
+    out = (filt_in * b0b + m0) / a0b
+    bq = face_b[:, 1:].astype(sdtype)[:, None, None, :]
+    aq = face_a[:, 1:].astype(sdtype)[:, None, None, :]
+    shifted = jnp.concatenate(
+        [st_s[..., 1:], jnp.zeros_like(st_s[..., :1])], axis=-1)
+    new_st = shifted + bq * filt_in[..., None] - aq * out[..., None]
+    return new_p, new_st
+
+
 def plane_boundary_step_planes(cur_pl6, cur_in6, prev_pl6,
                                states: Sequence[Any], spec: BoxSpec,
                                face_b, face_a):
-    """All six boundary-plane updates from carried plane values.
+    """Tuple-API wrapper around the stacked update (oracle/tests).
 
     ``face_b``/``face_a``: (6, order+1) per-face impedance filter
     coefficients (traced — gradients w.r.t. materials flow through here).
-    Returns (pplus: 6-tuple of (U, V) f32 pressures, new_states: 6-tuple).
+    Returns (pplus: 6-tuple of (U, V) pressures, new_states: 6-tuple).
 
     Parity: reference ``program.cpp:331-388`` boundary update +
     ``filters.cpp`` canonical DF2T ghost-point state advance, with the 2-D /
     3-D nodes (edges/corners) expressed as membership in 2 / 3 planes.
     """
     sdtype = states[0].dtype
-    pplus = []
-    new_states = []
-    blo = tuple(spec.ilo[a] - 1 for a in range(3))
-    bhi = tuple(spec.ihi[a] + 1 for a in range(3))
     out_dtype = cur_pl6[0].dtype
-
-    for pi, (a, side) in enumerate(PLANES):
-        pc = blo[a] if side == 0 else bhi[a]
-        a1, a2 = _other_axes(a)
-        U, V = spec.dims[a1], spec.dims[a2]
-
-        cur_pl = cur_pl6[pi].astype(sdtype)
-        cur_in = cur_in6[pi].astype(sdtype)
-        prev_pl = prev_pl6[pi].astype(sdtype)
-
-        u = jax.lax.broadcasted_iota(jnp.int32, (U, V), 0)
-        v = jax.lax.broadcasted_iota(jnp.int32, (U, V), 1)
-        act = ((u >= blo[a1]) & (u <= bhi[a1]) &
-               (v >= blo[a2]) & (v <= bhi[a2])).astype(sdtype)
-
-        one = jnp.ones((), sdtype)
-        w_um = jnp.where(u == blo[a1], 0 * one,
-                         jnp.where(u == bhi[a1], 2 * one, one))
-        w_up = jnp.where(u == blo[a1], 2 * one,
-                         jnp.where(u == bhi[a1], 0 * one, one))
-        w_vm = jnp.where(v == blo[a2], 0 * one,
-                         jnp.where(v == bhi[a2], 2 * one, one))
-        w_vp = jnp.where(v == blo[a2], 2 * one,
-                         jnp.where(v == bhi[a2], 0 * one, one))
-
-        csw = COURANT_SQ * (2.0 * cur_in
-                            + w_um * _shift(cur_pl, 0, -1)
-                            + w_up * _shift(cur_pl, 0, +1)
-                            + w_vm * _shift(cur_pl, 1, -1)
-                            + w_vp * _shift(cur_pl, 1, +1))
-
-        b0 = face_b[pi, 0].astype(sdtype)
-        a0 = face_a[pi, 0].astype(sdtype)
-        m0 = states[pi][..., 0]
-        fw = m0 / b0
-        cw = jnp.full((U, V), a0 / b0, dtype=sdtype)
-
-        # edge/corner coupling: rows/cols shared with the four adjacent
-        # planes pick up those planes' filter slots
-        for edge_axis, addr in ((a1, "row"), (a2, "col")):
-            for s2 in (0, 1):
-                q = PLANES.index((edge_axis, s2))
-                qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
-                line = _plane_line(states[q][..., 0], edge_axis, a, pc)
-                qb0 = face_b[q, 0].astype(sdtype)
-                qa0 = face_a[q, 0].astype(sdtype)
-                if addr == "row":
-                    fw = fw.at[qc, :].add(line / qb0)
-                    cw = cw.at[qc, :].add(qa0 / qb0)
-                else:
-                    fw = fw.at[:, qc].add(line / qb0)
-                    cw = cw.at[:, qc].add(qa0 / qb0)
-        cw = COURANT * cw
-
-        new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_pl) \
-            / (1.0 + cw)
-        pplus.append(new_p.astype(out_dtype))
-
-        # ghost-point DF2T state advance for this plane's own slot
-        delta = prev_pl - new_p
-        filt_in = -((a0 * delta) / (b0 * COURANT) + m0 / b0)
-        out = (filt_in * b0 + m0) / a0
-        bq = face_b[pi, 1:].astype(sdtype)
-        aq = face_a[pi, 1:].astype(sdtype)
-        shifted = jnp.concatenate(
-            [states[pi][..., 1:], jnp.zeros_like(states[pi][..., :1])],
-            axis=-1)
-        new_states.append(shifted + bq * filt_in[..., None]
-                          - aq * out[..., None])
-
-    return tuple(pplus), tuple(new_states)
+    pl_s = stack_planes(cur_pl6, spec, dtype=sdtype)
+    in_s = stack_planes(cur_in6, spec, dtype=sdtype)
+    prev_s = stack_planes(prev_pl6, spec, dtype=sdtype)
+    st_s = stack_planes(states, spec)
+    pplus_s, new_st_s = plane_boundary_step_stacked(
+        pl_s, in_s, prev_s, st_s, spec, face_b, face_a)
+    return (unstack_planes(pplus_s, spec, dtype=out_dtype),
+            unstack_planes(new_st_s, spec))
 
 
 # ---------------------------------------------------------------------------
@@ -563,8 +649,13 @@ def _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev, planes,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((X, Y, Z), dt),) + tuple(
             jax.ShapeDtypeStruct(s, dt) for s in shp),
+        # 64 MB scoped-VMEM cap (v5e has 128 MB): round 2 shipped a 17.5 MB
+        # cap that the rematerialized forward inside the backward while-loop
+        # exceeded by 1.38 MB (18.88 MB) — the r2 bench OOM.  The cap only
+        # bounds what the compiler MAY allocate; measured step time is
+        # identical at 17.5/64 MB.
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=17920 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(geom, inj_idx, inj_val, cur, prev, *planes)
     return out[0], tuple(out[1:])
@@ -608,7 +699,7 @@ def _pallas_backward(geom, g, ginner, interpret=False):
                    jax.ShapeDtypeStruct((X, Y, Z), dt)) + tuple(
             jax.ShapeDtypeStruct(s, dt) for s in shp),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=17920 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(geom, g, *ginner)
     return out[0], out[1], tuple(out[2:])
@@ -637,8 +728,11 @@ def _jnp_forward(geom, cur, prev, planes, inj_idx=None, inj_val=None):
     res = jnp.where(gz == geom[8] + 1, pzhi[:, :, None], res)
     res = jnp.where(gx == geom[3] - 1, pxlo[None, :, :], res)
     res = jnp.where(gx == geom[4] + 1, pxhi[None, :, :], res)
+    # inner-plane coords are GLOBAL; local array index subtracts the shard
+    # offset (geom[0..2]) — y/z offsets are 0 today, but the x offset is
+    # live under shard_map (ADVICE r2 low)
     inner = tuple(
-        jax.lax.dynamic_index_in_dim(res, geom[3 + 2 * a + s_], a,
+        jax.lax.dynamic_index_in_dim(res, geom[3 + 2 * a + s_] - geom[a], a,
                                      keepdims=False)
         for (a, s_) in PLANES)
     return res, inner
@@ -681,10 +775,11 @@ def fused_step(spec, geom, cur, prev, planes, inj_idx=NO_INJECT[0],
 def _fused_fwd(spec, geom, cur, prev, planes, inj_idx=NO_INJECT[0],
                inj_val=NO_INJECT[1], interpret=False):
     return fused_step(spec, geom, cur, prev, planes, inj_idx, inj_val,
-                      interpret), geom
+                      interpret), (geom, inj_idx)
 
 
-def _fused_bwd(spec, interpret, geom, cot):
+def _fused_bwd(spec, interpret, res, cot):
+    geom, inj_idx = res
     g, ginner = cot
     if use_fused_pallas(g.shape) or interpret:
         gcur, gprev, gplanes = _pallas_backward(geom, g, ginner,
@@ -711,8 +806,8 @@ def _fused_bwd(spec, interpret, geom, cot):
         bhi = (geom[4] + 1, geom[6] + 1, geom[8] + 1)
 
         def plane_grad(axis, coord, kill):
-            sl = jax.lax.dynamic_index_in_dim(Gtot, coord, axis,
-                                              keepdims=False)
+            sl = jax.lax.dynamic_index_in_dim(Gtot, coord - geom[axis],
+                                              axis, keepdims=False)
             U, V = sl.shape
             iu = jax.lax.broadcasted_iota(jnp.int32, (U, V), 0)
             iv = jax.lax.broadcasted_iota(jnp.int32, (U, V), 1)
@@ -722,16 +817,27 @@ def _fused_bwd(spec, interpret, geom, cot):
                 keep = keep & (it != k_coord)
             return jnp.where(keep, sl, 0.0)
 
+        # kill coords on the slice's x axis are localized (x offset under
+        # shard_map); y/z offsets are always 0
+        xlo_l, xhi_l = blo[0] - geom[0], bhi[0] - geom[0]
         gplanes = (
             plane_grad(0, blo[0], ()),
             plane_grad(0, bhi[0], ()),
-            plane_grad(1, blo[1], ((0, blo[0]), (0, bhi[0]),
+            plane_grad(1, blo[1], ((0, xlo_l), (0, xhi_l),
                                    (1, blo[2]), (1, bhi[2]))),
-            plane_grad(1, bhi[1], ((0, blo[0]), (0, bhi[0]),
+            plane_grad(1, bhi[1], ((0, xlo_l), (0, xhi_l),
                                    (1, blo[2]), (1, bhi[2]))),
-            plane_grad(2, blo[2], ((0, blo[0]), (0, bhi[0]))),
-            plane_grad(2, bhi[2], ((0, blo[0]), (0, bhi[0]))),
+            plane_grad(2, blo[2], ((0, xlo_l), (0, xhi_l))),
+            plane_grad(2, bhi[2], ((0, xlo_l), (0, xhi_l))),
         )
+    # a hard-set (mode 1) injection overwrites cur/prev at the source node,
+    # so no cotangent flows through the pre-injection values there (ADVICE
+    # r2: without this, HardSource gradients through the default box path
+    # leak through the clamped node).  Soft (mode 2) adds — pass-through.
+    sx = inj_idx[0] - geom[0]
+    keep = jnp.where(inj_idx[3] == 1, 0.0, 1.0).astype(gcur.dtype)
+    gcur = gcur.at[sx, inj_idx[1], inj_idx[2]].mul(keep)
+    gprev = gprev.at[sx, inj_idx[1], inj_idx[2]].mul(keep)
     ggeom = np.zeros(geom.shape, dtype=jax.dtypes.float0)
     ginj_idx = np.zeros(4, dtype=jax.dtypes.float0)
     ginj_val = jnp.zeros(2, dtype=jnp.float32)
@@ -744,32 +850,59 @@ fused_step.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 # scan-body machinery shared by run.run_waveguide_box and checkpoint
 
+class _InjectedView:
+    """Read-only view of the flat field with the pending in-kernel injection
+    applied to every read.
+
+    In kernel-inject mode the field array the receiver taps is
+    PRE-injection (the kernel applies the source while computing the next
+    step), so taps at the source node would diverge from the XLA-inject /
+    gather / region paths.  Receivers only read via ``field[idx]``; routing
+    those reads through ``source.patch_tap`` restores post-injection
+    semantics for any node set (ADVICE r2).
+    """
+
+    def __init__(self, field_flat, source, t):
+        self._field = field_flat
+        self._source = source
+        self._t = t
+
+    def __getitem__(self, idx):
+        return self._source.patch_tap(idx, self._field[idx], self._t)
+
+
 def initial_box_boundary(spec: BoxSpec, order: int, dtype=jnp.float32,
                          state_dtype=None):
-    """Boundary carry: (pl6, in6, prev_pl6, states6).
+    """Boundary carry: (pl_s, in6, prev_pl_s, st_s).
 
-    ``pl6``: field values at the six boundary planes (== last step's pplus);
-    ``in6``: field values at the six inner planes (kernel-extracted);
-    ``prev_pl6``: previous field's boundary-plane values.
+    ``pl_s``: stacked (6, Umax, Vmax) field values at the six boundary
+    planes (== last step's pplus); ``in6``: 6-tuple of field values at the
+    inner planes (kernel-extracted, true shapes); ``prev_pl_s``: previous
+    field's boundary-plane values (stacked); ``st_s``: stacked
+    (6, Umax, Vmax, order) IIR ghost-point state.
     """
     sdtype = state_dtype if state_dtype is not None else dtype
-    zplanes = tuple(jnp.zeros(spec.plane_shape(p), dtype=dtype)
-                    for p in range(6))
-    return (zplanes, zplanes, zplanes, spec.initial_states(order, sdtype))
+    Umax, Vmax = stacked_plane_shape(spec)
+    zstack = jnp.zeros((6, Umax, Vmax), dtype=dtype)
+    in6 = tuple(jnp.zeros(spec.plane_shape(p), dtype=dtype)
+                for p in range(6))
+    return (zstack, in6, zstack,
+            jnp.zeros((6, Umax, Vmax, order), dtype=sdtype))
 
 
 def make_box_body(structure, spec: BoxSpec, source, receiver,
                   geom=None, kernel_inject: bool = True):
     """Scan body for the fused box solver.
 
-    carry: (cur, prev, (pl6, in6, prev_pl6, states), rstate, ok)
+    carry: (cur, prev, (pl_s, in6, prev_pl_s, st_s), rstate, ok)
 
     ``kernel_inject``: point sources (Hard/Soft) inject INSIDE the fused
     kernel (an XLA ``.at[].set`` on the field costs a full copy per step).
-    Caveats of the kernel path: receiver taps at the source node itself
-    read the pre-injection pressure, and the injection is treated as
-    constant by the VJP — pass ``kernel_inject=False`` for gradient runs
-    (the XLA injection differentiates exactly).
+    The kernel path treats the injection as constant in the VJP, but the
+    VJP zeroes the cur/prev cotangent at a hard-set node, so material
+    gradients through the default path are exact; for gradients w.r.t. the
+    source signal itself pass ``kernel_inject=False`` (the XLA injection
+    differentiates w.r.t. everything).
     """
     dims = spec.dims
     num_nodes = dims[0] * dims[1] * dims[2]
@@ -783,33 +916,45 @@ def make_box_body(structure, spec: BoxSpec, source, receiver,
 
     def body(carry, t):
         current, previous, bcarry, rstate, ok = carry
-        pl6, in6, prev_pl6, states = bcarry
+        pl_s, in6, prev_pl_s, st_s = bcarry
+        fdtype = current.dtype
 
         if use_kernel_inject:
             inj_idx, inj_val = source.kernel_injection(dims, t)
+            tap_field = _InjectedView(current.reshape(num_nodes), source, t)
         else:
             inj_idx, inj_val = NO_INJECT
             cur_flat = source.inject(current.reshape(num_nodes), t)
             current = cur_flat.reshape(dims)
+            tap_field = current.reshape(num_nodes)
+
         # mirror the injection onto the carried inner planes (a source at
         # an inner-layer node must be visible to the boundary update)
-        in6 = tuple(
-            source.patch_plane(in6[pi], a,
-                               spec.ilo[a] if s == 0 else spec.ihi[a],
-                               dims, t)
-            for pi, (a, s) in enumerate(PLANES))
-        rstate, outputs = receiver.tap(current.reshape(num_nodes), rstate)
+        in_s = stack_planes(in6, spec, dtype=fdtype)
+        if hasattr(source, "patch_planes_stacked"):
+            in_s = source.patch_planes_stacked(in_s, spec, dims, t)
+        else:
+            in6 = tuple(
+                source.patch_plane(in6[pi], a,
+                                   spec.ilo[a] if s == 0 else spec.ihi[a],
+                                   dims, t)
+                for pi, (a, s) in enumerate(PLANES))
+            in_s = stack_planes(in6, spec, dtype=fdtype)
+        rstate, outputs = receiver.tap(tap_field, rstate)
 
-        pplus, states = plane_boundary_step_planes(
-            pl6, in6, prev_pl6, states, spec, face_b, face_a)
+        pplus_s, st_s = plane_boundary_step_stacked(
+            pl_s, in_s, prev_pl_s, st_s, spec, face_b, face_a)
+        pplus_s = pplus_s.astype(fdtype)
+        pplus = unstack_planes(pplus_s, spec)
         nxt, in6_next = fused_step(spec, geom, current, previous, pplus,
                                    inj_idx, inj_val)
         # instability in the filtered-boundary FDTD mesh manifests at the
         # boundary planes first (the interior update is marginally stable at
         # the Courant limit), so a plane-sum check is an O(n²) stand-in for
-        # the reference's per-node error flag
-        ok = ok & jnp.isfinite(sum(p.sum() for p in pplus))
-        new_carry = (nxt, current, (pplus, in6_next, pl6, states),
+        # the reference's per-node error flag; run_waveguide_box adds a
+        # full-field isfinite on the final state (an interior NaN persists)
+        ok = ok & jnp.isfinite(jnp.sum(pplus_s))
+        new_carry = (nxt, current, (pplus_s, in6_next, pl_s, st_s),
                      rstate, ok)
         return new_carry, outputs
 

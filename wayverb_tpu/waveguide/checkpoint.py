@@ -53,12 +53,13 @@ def initial_state(mesh: Mesh, receiver, dtype=jnp.float32) -> WaveguideState:
 
 
 def _chunk_fn(structure, dims, regions, box_spec, source, receiver, carry,
-              offsets):
+              offsets, kernel_inject=True):
     num_nodes = dims[0] * dims[1] * dims[2]
 
     if box_spec is not None:
         from wayverb_tpu.waveguide.box_fused import make_box_body
-        box_body = make_box_body(structure, box_spec, source, receiver)
+        box_body = make_box_body(structure, box_spec, source, receiver,
+                                 kernel_inject=kernel_inject)
         return jax.lax.scan(box_body, carry, offsets)
 
     def body(c, t):
@@ -86,11 +87,13 @@ def _chunk_fn(structure, dims, regions, box_spec, source, receiver, carry,
 
 
 _chunk_jit = jax.jit(_chunk_fn,
-                     static_argnames=("dims", "regions", "box_spec"))
+                     static_argnames=("dims", "regions", "box_spec",
+                                      "kernel_inject"))
 
 
 def run_chunk(mesh: Mesh, source, receiver, state: WaveguideState,
-              num_steps: int) -> Tuple[WaveguideState, Any]:
+              num_steps: int, kernel_inject: bool = True
+              ) -> Tuple[WaveguideState, Any]:
     """Advance ``num_steps`` from ``state``; returns (new_state, outputs)."""
     carry = (state.current, state.previous, state.boundary_state,
              state.receiver_state, state.stable)
@@ -101,7 +104,7 @@ def run_chunk(mesh: Mesh, source, receiver, state: WaveguideState,
     carry, outputs = _chunk_jit(mesh.structure,
                                 mesh.descriptor.dimensions, regions,
                                 mesh.box_spec, source, receiver, carry,
-                                offsets)
+                                offsets, kernel_inject=kernel_inject)
     current, previous, bstate, rstate, ok = carry
     return WaveguideState(current=current, previous=previous,
                           boundary_state=bstate, receiver_state=rstate,

@@ -221,19 +221,24 @@ def run_waveguide_regions(structure: MeshStructure, dims, source, receiver,
 
 def run_waveguide_box(structure: MeshStructure, spec, source, receiver,
                       num_steps: int, dtype=jnp.float32,
-                      state_dtype=None, checkpoint_every: int = 0) -> dict:
+                      state_dtype=None, checkpoint_every: int = 0,
+                      kernel_inject: bool = True) -> dict:
     """Scan using the fused plane-boundary path (box_fused.py).
 
-    The fastest solver: boundary work is six dense 2-D plane updates (pure
+    The fastest solver: boundary work is one stacked plane update (pure
     JAX, differentiable) and the interior stencil + plane splice is one
     Pallas kernel (jnp fallback off-TPU).  ``state_dtype`` optionally runs
     the IIR filter state in a wider dtype than the field (the reference
     mandates double for filter state, ``cl/filter_structs.h:14``; the plane
-    state is O(n²) so f64 costs little here).
+    state is O(n²) so f64 costs little here).  ``kernel_inject=False``
+    routes point sources through the XLA injection (differentiable w.r.t.
+    the source signal; the kernel path clamps signal gradients at a hard
+    source but material gradients are exact either way).
     """
     from wayverb_tpu.waveguide.box_fused import (initial_box_carry,
                                                  make_box_body)
-    body = make_box_body(structure, spec, source, receiver)
+    body = make_box_body(structure, spec, source, receiver,
+                         kernel_inject=kernel_inject)
     init = initial_box_carry(structure, spec, receiver, dtype, state_dtype)
     if checkpoint_every and num_steps > checkpoint_every:
         k = checkpoint_every
@@ -252,7 +257,11 @@ def run_waveguide_box(structure: MeshStructure, spec, source, receiver,
             outputs)
     else:
         carry, outputs = jax.lax.scan(body, init, jnp.arange(num_steps))
-    return {"outputs": outputs, "stable": carry[4]}
+    # the per-step check covers the boundary planes only (O(n²)); a NaN
+    # born in the interior persists in the field, so one final full-field
+    # reduction catches it at O(n³)-once instead of per step
+    stable = carry[4] & jnp.all(jnp.isfinite(carry[0]))
+    return {"outputs": outputs, "stable": stable}
 
 
 _run_waveguide_jit = jax.jit(
@@ -262,7 +271,7 @@ _run_waveguide_jit = jax.jit(
 _run_waveguide_box_jit = jax.jit(
     run_waveguide_box,
     static_argnames=("spec", "num_steps", "dtype", "state_dtype",
-                     "checkpoint_every"))
+                     "checkpoint_every", "kernel_inject"))
 
 _run_waveguide_regions_jit = jax.jit(
     run_waveguide_regions,
@@ -270,12 +279,12 @@ _run_waveguide_regions_jit = jax.jit(
 
 
 def execute(mesh: Mesh, source, receiver, num_steps: int,
-            dtype=jnp.float32) -> dict:
+            dtype=jnp.float32, kernel_inject: bool = True) -> dict:
     """Run the mesh with the fastest applicable boundary path."""
     if mesh.box_spec is not None:
         return _run_waveguide_box_jit(
             mesh.structure, mesh.box_spec, source, receiver, num_steps,
-            dtype)
+            dtype, kernel_inject=kernel_inject)
     if mesh.regions is not None:
         return _run_waveguide_regions_jit(
             mesh.structure, mesh.descriptor.dimensions, source, receiver,

@@ -38,6 +38,23 @@ def _plane_uv(x, y, z, axis):
     return x, y
 
 
+def _inner_plane_targets(node_idx, spec, dims):
+    """(plane, u, v, on) arrays mapping a node to each of the six carried
+    inner planes of the fused box solver (box_fused.PLANES order)."""
+    x, y, z = _unravel(node_idx, dims)
+    xyz = (x, y, z)
+    pis, us, vs, ons = [], [], [], []
+    for pi, (a, s) in enumerate(
+            ((0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1))):
+        coord = spec.ilo[a] if s == 0 else spec.ihi[a]
+        u, v = _plane_uv(x, y, z, a)
+        pis.append(jnp.full_like(x, pi))
+        us.append(u)
+        vs.append(v)
+        ons.append(xyz[a] == coord)
+    return (jnp.stack(pis), jnp.stack(us), jnp.stack(vs), jnp.stack(ons))
+
+
 def rectilinear_calibration_factor(grid_spacing: float,
                                    acoustic_impedance: float) -> float:
     """Level-matching injection scale (siltanen2013; calibration.h)."""
@@ -72,6 +89,19 @@ class HardSource:
         return plane.at[u, v].set(
             jnp.where(on, self.signal[t].astype(plane.dtype), plane[u, v]))
 
+    def patch_planes_stacked(self, stack, spec, dims, t):
+        """One-scatter version of patch_plane over the stacked (6, U, V)
+        inner planes (box_fused's hot path)."""
+        pis, us, vs, ons = _inner_plane_targets(self.node_idx, spec, dims)
+        old = stack[pis, us, vs]
+        val = jnp.where(ons, self.signal[t].astype(stack.dtype), old)
+        return stack.at[pis, us, vs].set(val)
+
+    def patch_tap(self, idx, values, t):
+        """Apply the pending injection to values gathered at flat ``idx``."""
+        return jnp.where(idx == self.node_idx,
+                         self.signal[t].astype(values.dtype), values)
+
     def kernel_injection(self, dims, t):
         """(inj_idx, inj_val) for the fused kernel's in-kernel injection."""
         x, y, z = _unravel(self.node_idx, dims)
@@ -105,6 +135,15 @@ class SoftSource:
         on = (x, y, z)[axis] == coord
         return plane.at[u, v].add(
             jnp.where(on, self.signal[t], 0.0).astype(plane.dtype))
+
+    def patch_planes_stacked(self, stack, spec, dims, t):
+        pis, us, vs, ons = _inner_plane_targets(self.node_idx, spec, dims)
+        val = jnp.where(ons, self.signal[t], 0.0).astype(stack.dtype)
+        return stack.at[pis, us, vs].add(val)
+
+    def patch_tap(self, idx, values, t):
+        return values + jnp.where(idx == self.node_idx,
+                                  self.signal[t], 0.0).astype(values.dtype)
 
     def kernel_injection(self, dims, t):
         """(inj_idx, inj_val) for the fused kernel's in-kernel injection."""
@@ -143,11 +182,25 @@ class GaussianSource:
             (jnp.where(on, self.weights, 0.0)
              * self.signal[t]).astype(plane.dtype))
 
+    def patch_planes_stacked(self, stack, spec, dims, t):
+        pis, us, vs, ons = _inner_plane_targets(self.node_indices, spec,
+                                                dims)   # (6, K) each
+        val = (jnp.where(ons, self.weights[None, :], 0.0)
+               * self.signal[t]).astype(stack.dtype)
+        return stack.at[pis, us, vs].add(val)
+
 
 def make_gaussian_source(desc: MeshDescriptor, centre, sdev: float,
-                         signal, support_radius_cells: int = 4
-                         ) -> GaussianSource:
-    """Gaussian ball centred at ``centre`` with spatial σ ``sdev`` metres."""
+                         signal, support_radius_cells: int = 4,
+                         inside=None) -> GaussianSource:
+    """Gaussian ball centred at ``centre`` with spatial σ ``sdev`` metres.
+
+    ``inside``: optional (X, Y, Z) bool mask; when given, the support is
+    clipped to INSIDE nodes.  Injecting onto boundary nodes is meaningless
+    (the boundary update overwrites them next step) and diverges between
+    the gather and fused-plane solvers, so near-wall sources should pass
+    the mesh's inside mask (ADVICE r2).
+    """
     loc = desc.locator(centre)
     r = support_radius_cells
     offs = np.stack(np.meshgrid(*([np.arange(-r, r + 1)] * 3),
@@ -156,6 +209,9 @@ def make_gaussian_source(desc: MeshDescriptor, centre, sdev: float,
     dims = np.asarray(desc.dimensions)
     ok = np.all((locs >= 0) & (locs < dims), axis=-1)
     locs = locs[ok]
+    if inside is not None:
+        inside = np.asarray(inside)
+        locs = locs[inside[locs[:, 0], locs[:, 1], locs[:, 2]]]
     pos = desc.position(locs)
     d2 = np.sum((pos - np.asarray(centre)) ** 2, axis=-1)
     w = np.exp(-d2 / (2.0 * sdev * sdev))
