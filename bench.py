@@ -171,9 +171,12 @@ def bench_rays(platform):
     from wayverb_tpu.raytracer.tracer import trace
     from wayverb_tpu.raytracer.scenes import procedural_hall
 
+    from wayverb_tpu.raytracer.accel import build_ray_grid
+
     num_rays = 1 << 16 if platform != "cpu" else 1 << 12
     depth = 40 if platform != "cpu" else 8
     soup, n_tris = procedural_hall()
+    grid = build_ray_grid(soup)
     surfaces = Surface(
         absorption=jnp.full((1, 8), 0.1),
         scattering=jnp.full((1, 8), 0.1))
@@ -181,16 +184,25 @@ def bench_rays(platform):
     rcv = (6.0, 1.9, 9.0)
     key = jax.random.PRNGKey(7)
 
-    @jax.jit
-    def run():
-        res = trace(soup, surfaces, source, rcv, key, num_rays=num_rays,
-                    depth=depth, max_time=1.0)
-        return jnp.sum(res.histogram)
+    def make_run(accel):
+        @jax.jit
+        def run():
+            res = trace(soup, surfaces, source, rcv, key,
+                        num_rays=num_rays, depth=depth, max_time=1.0,
+                        accel=accel)
+            return jnp.sum(res.histogram)
+        return run
 
-    dt, total = _time_scalar_fn(run, reps=2)
+    dt, total = _time_scalar_fn(make_run(grid), reps=2)
     if not np.isfinite(total) or total <= 0:
         raise RuntimeError(f"hall trace deposited no energy ({total})")
-    return num_rays * depth / dt, n_tris
+    dt_dense, _ = _time_scalar_fn(make_run(None), reps=2)
+    best = min(dt, dt_dense)
+    return num_rays * depth / best, {
+        "hall_triangles": n_tris,
+        "rays_per_s_voxel_dda": num_rays * depth / dt,
+        "rays_per_s_dense": num_rays * depth / dt_dense,
+    }
 
 
 def bench_weak_scaling():
@@ -244,9 +256,9 @@ def main():
             errors["waveguide_bwd"] = traceback.format_exc(limit=4)
 
     try:
-        rays, n_tris = bench_rays(platform)
+        rays, ray_detail = bench_rays(platform)
         metrics["rays_per_s"] = rays
-        extra["hall_triangles"] = n_tris
+        extra.update(ray_detail)
     except Exception:
         errors["rays_per_s"] = traceback.format_exc(limit=4)
 

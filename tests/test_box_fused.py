@@ -152,32 +152,85 @@ class TestPallasKernel:
     @pytest.mark.parametrize("interpret", [True, False])
     def test_custom_vjp_matches_jnp_autodiff(self, rng, interpret):
         """The hand VJP (writer-precedence plane masks + one-hot inner-plane
-        placement) must equal autodiff of the pure-jnp forward, on both the
-        interpreted Pallas backward and the jnp backward."""
+        placement + halo rows) must equal autodiff of the pure-jnp forward,
+        on both the interpreted Pallas backward and the jnp backward."""
         from wayverb_tpu.waveguide.box_fused import _jnp_forward
         spec, cur, prev, planes = _random_problem(rng)
         geom = spec.geom_array()
         g = jnp.asarray(rng.normal(size=cur.shape).astype(np.float32))
         wi = _inner_weights(rng, spec)
+        halos = tuple(
+            jnp.asarray(rng.normal(
+                size=(1,) + cur.shape[1:]).astype(np.float32))
+            for _ in range(2))
 
         def weighted(out):
             nxt, inner = out
             return jnp.sum(nxt * g) + sum(
                 jnp.sum(w * p) for w, p in zip(wi, inner))
 
-        def loss_custom(cur, prev, planes):
+        def loss_custom(cur, prev, planes, halos):
             return weighted(fused_step(spec, geom, cur, prev, planes,
-                                       interpret=interpret))
+                                       halos=halos, interpret=interpret))
 
-        def loss_ref(cur, prev, planes):
-            return weighted(_jnp_forward(geom, cur, prev, planes))
+        def loss_ref(cur, prev, planes, halos):
+            return weighted(_jnp_forward(geom, cur, prev, planes,
+                                         halos=halos))
 
-        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(cur, prev, planes)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(cur, prev, planes)
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(
+            cur, prev, planes, halos)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            cur, prev, planes, halos)
         for got, ref in zip(jax.tree_util.tree_leaves(gc),
                             jax.tree_util.tree_leaves(gr)):
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-4)
+
+    @pytest.mark.parametrize("interpret", [True, False])
+    def test_sharded_halves_match_full(self, rng, interpret):
+        """Running the step on two x-halves with geom offsets + exchanged
+        halo rows must reproduce the full-grid step exactly (the shard_map
+        decomposition contract)."""
+        from wayverb_tpu.waveguide.box_fused import _jnp_forward
+        spec, cur, prev, planes = _random_problem(rng)
+        X = cur.shape[0]
+        XL = X // 2
+
+        full_out, full_inner = fused_step(spec, spec.geom_array(), cur,
+                                          prev, planes, interpret=interpret)
+
+        pxlo, pxhi, pylo, pyhi, pzlo, pzhi = planes
+        halves_out, halves_inner = [], []
+        for s, off in ((0, 0), (1, XL)):
+            geom = spec.geom_array(x_offset=off)
+            local_planes = (pxlo, pxhi,
+                            pylo[off:off + XL], pyhi[off:off + XL],
+                            pzlo[off:off + XL], pzhi[off:off + XL])
+            hlo = cur[off - 1:off] if off > 0 \
+                else jnp.zeros_like(cur[:1])
+            hhi = cur[off + XL:off + XL + 1] if off + XL < X \
+                else jnp.zeros_like(cur[:1])
+            out, inner = fused_step(
+                spec, geom, cur[off:off + XL], prev[off:off + XL],
+                local_planes, halos=(hlo, hhi), interpret=interpret)
+            halves_out.append(out)
+            halves_inner.append(inner)
+
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(halves_out, axis=0)),
+            np.asarray(full_out), atol=1e-5)
+        # y/z inner planes concatenate; x inner planes come from the owner
+        for p, (a, side) in enumerate(
+                ((0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1))):
+            if a == 0:
+                coord = spec.ilo[0] if side == 0 else spec.ihi[0]
+                got = halves_inner[coord // XL][p]
+            else:
+                got = jnp.concatenate(
+                    [halves_inner[0][p], halves_inner[1][p]], axis=0)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(full_inner[p]),
+                                       atol=1e-5)
 
 
 class TestInjectionSemantics:

@@ -87,16 +87,34 @@ class Engine:
     def __init__(self, soup: TriangleSoup, surfaces: Surface,
                  waveguide_params: WaveguideParameters = WaveguideParameters(),
                  environment: Environment = Environment(),
-                 scene_box: Optional[Box] = None):
+                 scene_box: Optional[Box] = None,
+                 device_mesh=None):
+        """``device_mesh``: optional 1-D jax.sharding.Mesh — shoebox scenes
+        then run the waveguide leg on the sharded fused solver
+        (parallel.box_sharded), with the grid x dim padded to divide over
+        the mesh."""
         self.soup = soup
         self.surfaces = surfaces
         self.environment = environment
         self.waveguide_params = waveguide_params
+        self.device_mesh = device_mesh
         spacing = grid_spacing(environment.speed_of_sound,
                                1.0 / waveguide_params.sample_rate)
+        align = "auto"
+        if device_mesh is not None:
+            from wayverb_tpu.waveguide.descriptor import default_alignment
+            n = int(np.prod(list(device_mesh.shape.values())))
+            base = default_alignment() or (1, 1, 1)
+            align = (int(np.lcm(n, base[0])), base[1], base[2])
         self.mesh = wgrun.compute_mesh(
             soup, np.asarray(surfaces.absorption), spacing,
-            waveguide_params.sample_rate, scene_box=scene_box)
+            waveguide_params.sample_rate, scene_box=scene_box, align=align)
+        # voxel-DDA ray acceleration pays off beyond a few hundred
+        # triangles (shoeboxes stay on the dense broadcast)
+        self.ray_grid = None
+        if soup.num_triangles > 100:
+            from wayverb_tpu.raytracer.accel import build_ray_grid
+            self.ray_grid = build_ray_grid(soup)
 
     def run(self, source, receiver, key,
             raytracer_params: RaytracerParameters = RaytracerParameters()
@@ -113,7 +131,8 @@ class Engine:
             receiver_radius=raytracer_params.receiver_radius,
             histogram_sample_rate=raytracer_params.histogram_sample_rate,
             max_image_source_order=(
-                raytracer_params.maximum_image_source_order))
+                raytracer_params.maximum_image_source_order),
+            accel=self.ray_grid)
 
         image_source = find_image_source_impulses(
             trace_res.triangle_history, self.soup, self.surfaces,
@@ -134,8 +153,16 @@ class Engine:
                 receiver, max_stochastic_time,
                 self.waveguide_params.bands, env)
         else:
-            wg_out = wgrun.canonical(self.mesh, source, receiver,
-                                     max_stochastic_time, env)
+            if self.device_mesh is not None and \
+                    self.mesh.box_spec is not None:
+                from wayverb_tpu.parallel.box_sharded import \
+                    canonical_sharded
+                wg_out = canonical_sharded(self.mesh, source, receiver,
+                                           max_stochastic_time,
+                                           self.device_mesh, env)
+            else:
+                wg_out = wgrun.canonical(self.mesh, source, receiver,
+                                         max_stochastic_time, env)
             bands = [BandpassBand(
                 pressure=wg_out.pressure, intensity=wg_out.intensity,
                 sample_rate=wg_out.sample_rate,

@@ -99,13 +99,19 @@ def trace(soup: TriangleSoup, surfaces: Surface, source, receiver, key,
           receiver_radius: float = DEFAULT_RECEIVER_RADIUS,
           histogram_sample_rate: float = DEFAULT_HISTOGRAM_SR,
           max_image_source_order: int = 0,
-          capture_positions: bool = False) -> TraceResults:
+          capture_positions: bool = False,
+          accel=None) -> TraceResults:
     """Trace ``num_rays`` rays for ``depth`` bounces.
 
     ``surfaces``: (S, bands) material table indexed by ``soup.surfaces``.
     Specular (non-scattered) receiver crossings only contribute from bounce
     ``max_image_source_order`` on — below that the image-source solver
     covers them deterministically.
+
+    ``accel``: optional ``accel.RayGrid`` — intersection and visibility
+    queries then run the batched voxel DDA (O(K·cells) per ray) instead of
+    the dense (R, T) broadcast; build one with ``accel.build_ray_grid``
+    for scenes beyond a few hundred triangles.
     """
     source = jnp.asarray(source, dtype=jnp.float32)
     receiver = jnp.asarray(receiver, dtype=jnp.float32)
@@ -140,12 +146,24 @@ def trace(soup: TriangleSoup, surfaces: Surface, source, receiver, key,
         vols = jnp.where(mask[:, None], volumes, 0.0)
         return hist.at[bin_idx, az, el].add(vols, mode="drop")
 
+    if accel is not None:
+        from wayverb_tpu.raytracer.accel import (grid_intersection,
+                                                 grid_line_of_sight)
+        intersect = lambda p, d, ex: grid_intersection(    # noqa: E731
+            p, d, accel, soup, exclude_triangle=ex)
+        los = lambda a, b, ex: grid_line_of_sight(         # noqa: E731
+            a, b, accel, soup, exclude_triangle=ex)
+    else:
+        intersect = lambda p, d, ex: scene_intersection(   # noqa: E731
+            p, d, soup, exclude_triangle=ex)
+        los = lambda a, b, ex: line_of_sight(              # noqa: E731
+            a, b, soup, exclude_triangle=ex)
+
     def body(carry, step):
         key = carry["key"]
         pos, dirs = carry["pos"], carry["dirs"]
 
-        t, tri, hit = scene_intersection(pos, dirs, soup,
-                                         exclude_triangle=carry["prev_tri"])
+        t, tri, hit = intersect(pos, dirs, carry["prev_tri"])
         alive = carry["alive"] & hit
         ipt = pos + dirs * t[:, None]
 
@@ -172,9 +190,8 @@ def trace(soup: TriangleSoup, surfaces: Surface, source, receiver, key,
         hist = deposit(hist, last_pos, spec_dist, last_volume, spec_mask)
 
         # diffuse rain toward the visible receiver
-        visible = line_of_sight(ipt, jnp.tile(receiver[None, :],
-                                              (ipt.shape[0], 1)),
-                                soup, exclude_triangle=tri)
+        visible = los(ipt, jnp.tile(receiver[None, :],
+                                    (ipt.shape[0], 1)), tri)
         to_recv = receiver - ipt
         to_recv_dist = jnp.linalg.norm(to_recv, axis=-1)
         n = normals[tri]

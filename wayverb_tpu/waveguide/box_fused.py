@@ -398,6 +398,7 @@ def _yz_neighbor_acc(c):
 
 
 def _fwd_kernel(geom_ref, inj_ref, injv_ref, cur_ref, prev_ref,
+                hlo_ref, hhi_ref,
                 pxlo_ref, pxhi_ref, pylo_ref, pyhi_ref, pzlo_ref, pzhi_ref,
                 out_ref, ixlo_ref, ixhi_ref, iylo_ref, iyhi_ref,
                 izlo_ref, izhi_ref, slab, tail, *, spec, Y, Z, nb):
@@ -409,6 +410,10 @@ def _fwd_kernel(geom_ref, inj_ref, injv_ref, cur_ref, prev_ref,
     dynamic for sharding: geom[0] is the shard's x offset) uses traced
     comparisons.  This keeps the kernel ≈15 VPU ops/element instead of the
     ~55 of a fully dynamic where/iota formulation.
+
+    ``hlo_ref``/``hhi_ref``: (1, Y, Z) cur halo rows at local x = −1 and
+    x = X (zeros for an unsharded mesh, neighbours' edge rows under
+    shard_map domain decomposition).
     """
     i = pl.program_id(0)            # grid has nb+1 steps
     j = jnp.maximum(i - 1, 0)       # slab being computed
@@ -431,12 +436,14 @@ def _fwd_kernel(geom_ref, inj_ref, injv_ref, cur_ref, prev_ref,
     def _():
         c = slab[...]                               # cur block j (injected)
         up = jnp.concatenate([tail[...], c[:-1]], axis=0)
-        # down halo: first row of the arriving cur block, injection applied
+        # down halo: first row of the arriving cur block, injection applied;
+        # the last slab's down halo is the shard halo input instead
         dn_row = cur_ref[0:1]
         dn_row = jnp.where((sx == x_off + s_blk * XT) & (mode > 0)
                            & src_yz[None],
                            jnp.where(mode == 1, v_now, dn_row + v_now),
                            dn_row)
+        dn_row = jnp.where(j == nb - 1, hhi_ref[...], dn_row)
         dn = jnp.concatenate([c[1:], dn_row], axis=0)
         acc = up + dn + _yz_neighbor_acc(c)
 
@@ -519,8 +526,9 @@ def _fwd_kernel(geom_ref, inj_ref, injv_ref, cur_ref, prev_ref,
         def _():
             ixhi_ref[...] = out_ref[ixhi_loc % XT]
 
-    # roll the window (garbage tail at i==1 only feeds the all-outside row 0)
-    tail[...] = slab[XT - 1:XT]
+    # roll the window; at i==0 the tail seeds from the shard halo (zeros for
+    # an unsharded mesh, the left neighbour's edge row under shard_map)
+    tail[...] = jnp.where(i == 0, hlo_ref[...], slab[XT - 1:XT])
     sx_arr = sx - x_off - s_blk * XT
     owns_arr = (mode > 0) & (sx_arr >= 0) & (sx_arr < XT)
 
@@ -540,11 +548,14 @@ def _fwd_kernel(geom_ref, inj_ref, injv_ref, cur_ref, prev_ref,
 def _bwd_kernel(geom_ref, g_ref, gxlo_ref, gxhi_ref, gylo_ref, gyhi_ref,
                 gzlo_ref, gzhi_ref,
                 gcur_ref, gprev_ref, pxlo_ref, pxhi_ref, pylo_ref, pyhi_ref,
-                pzlo_ref, pzhi_ref, slab, tail, *, Y, Z, nb):
+                pzlo_ref, pzhi_ref, ghlo_ref, ghhi_ref, slab, tail,
+                *, Y, Z, nb):
     """Adjoint: ĝcur = λ²·Σ₆ shift(G), ĝprev = −G with
     G = M ⊙ (ĝnxt + one-hot placed inner-plane cotangents), plus the six
     boundary-plane cotangents (ĝnxt at plane coords under writer-precedence
-    masks) as masked reductions."""
+    masks) as masked reductions.  ``ghlo``/``ghhi``: cotangents of the cur
+    halo rows (λ²·G at the first/last local row — routed to neighbours by
+    the transposed ppermute under shard_map)."""
     i = pl.program_id(0)
     s = jnp.minimum(i, nb - 1)      # slab whose G is built this step
     j = jnp.maximum(i - 1, 0)       # slab whose outputs are computed
@@ -585,13 +596,31 @@ def _bwd_kernel(geom_ref, g_ref, gxlo_ref, gxhi_ref, gylo_ref, gyhi_ref,
     pzhi_ref[...] = jnp.sum(
         jnp.where((gz == bhi[2]) & keep_z, Gtot, 0.0), axis=2)
 
-    @pl.when(s == blo[0] // XT)
+    # x-plane cotangents: the owner guards are LOCAL slab indices; zero-init
+    # first so a shard that owns neither plane still emits zeros (garbage
+    # here poisons the whole backward under shard_map)
+    @pl.when(i == 0)
+    def _():
+        pxlo_ref[...] = jnp.zeros(pxlo_ref.shape, pxlo_ref.dtype)
+        pxhi_ref[...] = jnp.zeros(pxhi_ref.shape, pxhi_ref.dtype)
+
+    @pl.when(s == (blo[0] - geom[0]) // XT)
     def _():
         pxlo_ref[...] = jnp.sum(jnp.where(gx == blo[0], Gtot, 0.0), axis=0)
 
-    @pl.when(s == bhi[0] // XT)
+    @pl.when(s == (bhi[0] - geom[0]) // XT)
     def _():
         pxhi_ref[...] = jnp.sum(jnp.where(gx == bhi[0], Gtot, 0.0), axis=0)
+
+    # cur-halo cotangents: hlo feeds only local row 0 (λ²·G[0]); hhi only
+    # the last local row
+    @pl.when(s == 0)
+    def _():
+        ghlo_ref[...] = COURANT_SQ * G[0:1]
+
+    @pl.when(s == nb - 1)
+    def _():
+        ghhi_ref[...] = COURANT_SQ * G[XT - 1:XT]
 
     @pl.when(i >= 1)
     def _():
@@ -612,7 +641,7 @@ def _plane_shapes(X, Y, Z):
     return ((Y, Z), (Y, Z), (X, Z), (X, Z), (X, Y), (X, Y))
 
 
-def _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev, planes,
+def _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev, halos, planes,
                     interpret=False):
     X, Y, Z = cur.shape
     nb = X // XT
@@ -628,6 +657,7 @@ def _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev, planes,
         in_specs=[
             blk3(lambda i, *g: (jnp.minimum(i, nb - 1), 0, 0)),  # cur
             blk3(j_map3),                                        # prev
+            full(), full(),                                      # halos
             full(), full(), full(), full(), full(), full(),     # pplus
         ],
         out_specs=(
@@ -657,7 +687,7 @@ def _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev, planes,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(geom, inj_idx, inj_val, cur, prev, *planes)
+    )(geom, inj_idx, inj_val, cur, prev, halos[0], halos[1], *planes)
     return out[0], tuple(out[1:])
 
 
@@ -685,6 +715,7 @@ def _pallas_backward(geom, g, ginner, interpret=False):
             pl.BlockSpec((XT, Z), s_map2, memory_space=pltpu.VMEM),
             pl.BlockSpec((XT, Y), s_map2, memory_space=pltpu.VMEM),
             pl.BlockSpec((XT, Y), s_map2, memory_space=pltpu.VMEM),
+            full(), full(),                                      # ghalos
         ),
         scratch_shapes=[
             pltpu.VMEM((XT, Y, Z), dt),
@@ -697,15 +728,18 @@ def _pallas_backward(geom, g, ginner, interpret=False):
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((X, Y, Z), dt),
                    jax.ShapeDtypeStruct((X, Y, Z), dt)) + tuple(
-            jax.ShapeDtypeStruct(s, dt) for s in shp),
+            jax.ShapeDtypeStruct(s, dt) for s in shp) + (
+            jax.ShapeDtypeStruct((1, Y, Z), dt),
+            jax.ShapeDtypeStruct((1, Y, Z), dt)),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(geom, g, *ginner)
-    return out[0], out[1], tuple(out[2:])
+    return out[0], out[1], tuple(out[2:8]), (out[8], out[9])
 
 
-def _jnp_forward(geom, cur, prev, planes, inj_idx=None, inj_val=None):
+def _jnp_forward(geom, cur, prev, planes, inj_idx=None, inj_val=None,
+                 halos=None):
     """Reference/CPU implementation of the fused step."""
     from wayverb_tpu.waveguide.stencil import _neighbor_sum
     X, Y, Z = cur.shape
@@ -719,8 +753,11 @@ def _jnp_forward(geom, cur, prev, planes, inj_idx=None, inj_val=None):
                                       cur + inj_val[0]), cur)
         prev = jnp.where(oh, jnp.where(inj_idx[3] == 1, inj_val[1],
                                        prev + inj_val[1]), prev)
+    ns = _neighbor_sum(cur)
+    if halos is not None:
+        ns = ns.at[0].add(halos[0][0]).at[-1].add(halos[1][0])
     res = jnp.where(_inside_mask(gx, gy, gz, geom),
-                    COURANT_SQ * _neighbor_sum(cur) - prev, 0.0)
+                    COURANT_SQ * ns - prev, 0.0)
     pxlo, pxhi, pylo, pyhi, pzlo, pzhi = planes
     res = jnp.where(gy == geom[5] - 1, pylo[:, None, :], res)
     res = jnp.where(gy == geom[6] + 1, pyhi[:, None, :], res)
@@ -748,42 +785,55 @@ def use_fused_pallas(shape) -> bool:
 NO_INJECT = (np.zeros(4, np.int32), np.zeros(2, np.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 8))
+def _fused_core(spec, geom, cur, prev, planes, inj_idx, inj_val, halos,
+                interpret):
+    if use_fused_pallas(cur.shape) or interpret:
+        return _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev,
+                               halos, planes, interpret=interpret)
+    return _jnp_forward(geom, cur, prev, planes, inj_idx, inj_val, halos)
+
+
 def fused_step(spec, geom, cur, prev, planes, inj_idx=NO_INJECT[0],
-               inj_val=NO_INJECT[1], interpret=False):
+               inj_val=NO_INJECT[1], halos=None, interpret=False):
     """(next, inner_planes) = stencil+splice+extract.
 
-    Linear in (cur, prev, planes); hand-written VJP (Pallas kernels are not
-    auto-differentiable).  ``spec`` provides the static y/z box geometry;
-    ``geom`` is the int32 vector from ``BoxSpec.geom_array`` whose x offset
-    may be traced (shard_map).  y/z offsets must be zero.
+    Linear in (cur, prev, planes, halos); hand-written VJP (Pallas kernels
+    are not auto-differentiable).  ``spec`` provides the static y/z box
+    geometry; ``geom`` is the int32 vector from ``BoxSpec.geom_array``
+    whose x offset may be traced (shard_map).  y/z offsets must be zero.
 
     ``inj_idx`` = (x, y, z, mode) with mode 0 none / 1 hard / 2 soft and
     ``inj_val`` = (value_now, value_prev) fold the point-source injection
     into the kernel (an XLA-level ``.at[].set`` on the field copies it).
-    NOTE: the VJP treats the injection as constant — differentiate through
-    the XLA-level injection path instead (``make_box_body(kernel_inject=
-    False)``) when gradients w.r.t. the source or the field at the source
-    node are needed.
+    The VJP treats the injection VALUES as constant but zeroes the cur/prev
+    cotangent at a hard-set node — differentiate through the XLA-level
+    injection path (``make_box_body(kernel_inject=False)``) for gradients
+    w.r.t. the source signal.
+
+    ``halos``: optional (hlo, hhi) pair of (1, Y, Z) cur rows at local
+    x = −1 / x = X for shard_map domain decomposition (zeros when omitted;
+    the global mesh guarantees all-outside rows at the grid ends).
     """
-    if use_fused_pallas(cur.shape) or interpret:
-        return _pallas_forward(spec, geom, inj_idx, inj_val, cur, prev,
-                               planes, interpret=interpret)
-    return _jnp_forward(geom, cur, prev, planes, inj_idx, inj_val)
+    if halos is None:
+        z = jnp.zeros((1,) + cur.shape[1:], cur.dtype)
+        halos = (z, z)
+    return _fused_core(spec, geom, cur, prev, planes, inj_idx, inj_val,
+                       halos, interpret)
 
 
-def _fused_fwd(spec, geom, cur, prev, planes, inj_idx=NO_INJECT[0],
-               inj_val=NO_INJECT[1], interpret=False):
-    return fused_step(spec, geom, cur, prev, planes, inj_idx, inj_val,
-                      interpret), (geom, inj_idx)
+def _fused_fwd(spec, geom, cur, prev, planes, inj_idx, inj_val, halos,
+               interpret):
+    return _fused_core(spec, geom, cur, prev, planes, inj_idx, inj_val,
+                       halos, interpret), (geom, inj_idx)
 
 
 def _fused_bwd(spec, interpret, res, cot):
     geom, inj_idx = res
     g, ginner = cot
     if use_fused_pallas(g.shape) or interpret:
-        gcur, gprev, gplanes = _pallas_backward(geom, g, ginner,
-                                                interpret=interpret)
+        gcur, gprev, gplanes, ghalos = _pallas_backward(
+            geom, g, ginner, interpret=interpret)
     else:
         from wayverb_tpu.waveguide.stencil import _neighbor_sum
         X, Y, Z = g.shape
@@ -801,17 +851,23 @@ def _fused_bwd(spec, interpret, res, cot):
         G = jnp.where(_inside_mask(gx, gy, gz, geom), G, 0.0)
         gcur = COURANT_SQ * _neighbor_sum(G)
         gprev = -G
+        ghalos = (COURANT_SQ * G[0:1], COURANT_SQ * G[-1:])
 
         blo = (geom[3] - 1, geom[5] - 1, geom[7] - 1)
         bhi = (geom[4] + 1, geom[6] + 1, geom[8] + 1)
 
         def plane_grad(axis, coord, kill):
-            sl = jax.lax.dynamic_index_in_dim(Gtot, coord - geom[axis],
-                                              axis, keepdims=False)
+            # localize; planes whose coordinate lies outside this shard get
+            # ZERO cotangent (dynamic_index clamps, so without the mask a
+            # non-owner shard would emit garbage — the sharded-grad bug)
+            c = coord - geom[axis]
+            valid = (c >= 0) & (c < Gtot.shape[axis])
+            sl = jax.lax.dynamic_index_in_dim(Gtot, c, axis,
+                                              keepdims=False)
             U, V = sl.shape
             iu = jax.lax.broadcasted_iota(jnp.int32, (U, V), 0)
             iv = jax.lax.broadcasted_iota(jnp.int32, (U, V), 1)
-            keep = jnp.ones((U, V), dtype=bool)
+            keep = jnp.full((U, V), True) & valid
             for k_axis, k_coord in kill:
                 it = iu if k_axis == 0 else iv
                 keep = keep & (it != k_coord)
@@ -841,10 +897,10 @@ def _fused_bwd(spec, interpret, res, cot):
     ggeom = np.zeros(geom.shape, dtype=jax.dtypes.float0)
     ginj_idx = np.zeros(4, dtype=jax.dtypes.float0)
     ginj_val = jnp.zeros(2, dtype=jnp.float32)
-    return ggeom, gcur, gprev, gplanes, ginj_idx, ginj_val
+    return ggeom, gcur, gprev, gplanes, ginj_idx, ginj_val, ghalos
 
 
-fused_step.defvjp(_fused_fwd, _fused_bwd)
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
