@@ -74,6 +74,58 @@ class TestGridQueries:
         assert (dense == grd).mean() > 0.99    # boundary-grazing slack
 
 
+class TestPallasMT:
+    """VMEM-tiled Möller–Trumbore kernel vs the dense oracle."""
+
+    def test_closest_hit_matches_dense(self):
+        from wayverb_tpu.raytracer.mt_pallas import (build_pallas_triangles,
+                                                     mt_intersection)
+        soup, _ = procedural_hall(shell_div=8, n_columns=3, column_div=2)
+        tris = build_pallas_triangles(soup)
+        box = Box((0, 0, 0), (20.0, 8.0, 15.0))
+        origins, dirs = random_rays_inside(box, 600, jax.random.PRNGKey(2))
+        td, trid, hitd = scene_intersection(origins, dirs, soup)
+        tp, trip, hitp = mt_intersection(origins, dirs, tris,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(hitp), np.asarray(hitd))
+        m = np.asarray(hitd)
+        np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m],
+                                   rtol=1e-5)
+        assert (np.asarray(trip)[m] == np.asarray(trid)[m]).mean() > 0.98
+
+    def test_exclude_and_padding(self):
+        from wayverb_tpu.raytracer.mt_pallas import (build_pallas_triangles,
+                                                     mt_intersection)
+        soup, _ = procedural_hall(shell_div=6, n_columns=0)
+        tris = build_pallas_triangles(soup)
+        box = Box((0, 0, 0), (20.0, 8.0, 15.0))
+        # R=100: not a multiple of the ray tile (exercises ray padding)
+        origins, dirs = random_rays_inside(box, 100, jax.random.PRNGKey(4))
+        _, tri, hit = mt_intersection(origins, dirs, tris, interpret=True)
+        t2, tri2, hit2 = mt_intersection(origins, dirs, tris,
+                                         exclude_triangle=tri,
+                                         interpret=True)
+        m = np.asarray(hit) & np.asarray(hit2)
+        assert not np.any(np.asarray(tri2)[m] == np.asarray(tri)[m])
+
+    def test_trace_matches_dense(self):
+        from wayverb_tpu.raytracer.mt_pallas import build_pallas_triangles
+        box = Box((0, 0, 0), (5.56, 3.97, 2.81))
+        soup = box_scene(box)
+        tris = build_pallas_triangles(soup)
+        kwargs = dict(num_rays=512, depth=10, max_time=0.6)
+        rd = tracer.trace(soup, surfaces(), (2.1, 2.1, 1.2),
+                          (2.1, 3.0, 0.9), jax.random.PRNGKey(5), **kwargs)
+        rp = tracer.trace(soup, surfaces(), (2.1, 2.1, 1.2),
+                          (2.1, 3.0, 0.9), jax.random.PRNGKey(5),
+                          accel=tris, **kwargs)
+        np.testing.assert_array_equal(np.asarray(rp.triangle_history),
+                                      np.asarray(rd.triangle_history))
+        np.testing.assert_allclose(np.asarray(rp.histogram),
+                                   np.asarray(rd.histogram),
+                                   rtol=1e-4, atol=1e-8)
+
+
 class TestAcceleratedTrace:
     def test_trace_matches_dense_on_box(self):
         """Identical RNG ⇒ identical bounce sequence ⇒ identical histogram

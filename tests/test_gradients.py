@@ -78,6 +78,61 @@ class TestWaveguideGradients:
         fd = float(central_diff(loss64, 1.0, 1e-2))
         np.testing.assert_allclose(g, fd, rtol=0.05)
 
+    def test_source_position_gradient_matches_fd(self):
+        """d(IR energy)/d(source xyz) through the fused box solver, FD
+        check (BASELINE: waveguide gradients w.r.t. source positions)."""
+        from wayverb_tpu.waveguide.run import run_waveguide_box
+        from wayverb_tpu.waveguide.sources import make_position_source
+        mesh, _, rcv = self._setup()
+        desc = mesh.descriptor
+        steps = 60
+        sig = np.zeros(steps, np.float32)
+        sig[:6] = np.hanning(6)
+        receiver = NodeReceiver(node_idx=jnp.asarray(rcv, jnp.int32))
+        base = make_position_source(desc, (0.55, 0.63, 0.42), 2.5 * DX,
+                                    sig, mesh.inside)
+
+        def loss(pos):
+            src = dataclasses.replace(base, position=pos)
+            out = run_waveguide_box(mesh.structure, mesh.box_spec, src,
+                                    receiver, steps)
+            return jnp.sum(jnp.square(out["outputs"]))
+
+        p0 = jnp.asarray((0.55, 0.63, 0.42), jnp.float32)
+        g = np.asarray(jax.grad(loss)(p0))
+        for a in range(3):
+            e = jnp.zeros(3).at[a].set(2e-3)
+            fd = (float(loss(p0 + e)) - float(loss(p0 - e))) / 4e-3
+            # f32 central differences on an O(10^3) loss carry ~O(1) noise
+            np.testing.assert_allclose(g[a], fd, rtol=2e-2, atol=5.0)
+
+    def test_receiver_position_gradient_matches_fd(self):
+        """d(IR energy)/d(receiver xyz) via the trilinear interpolating
+        tap, FD check."""
+        from wayverb_tpu.waveguide.receivers import \
+            make_interpolated_receiver
+        from wayverb_tpu.waveguide.run import run_waveguide_box
+        mesh, src, _ = self._setup()
+        steps = 60
+        source = HardSource(node_idx=jnp.asarray(src, jnp.int32),
+                            signal=impulse_signal(steps, 1.0))
+        base = make_interpolated_receiver(
+            mesh.descriptor, (0.62, 0.57, 1.03))
+
+        def loss(pos):
+            rec = dataclasses.replace(base, position=pos)
+            out = run_waveguide_box(mesh.structure, mesh.box_spec, source,
+                                    rec, steps)
+            return jnp.sum(jnp.square(out["outputs"]))
+
+        p0 = jnp.asarray((0.62, 0.57, 1.03), jnp.float32)
+        g = np.asarray(jax.grad(loss)(p0))
+        assert np.any(g != 0)
+        for a in range(3):
+            e = jnp.zeros(3).at[a].set(2e-3)
+            fd = (float(loss(p0 + e)) - float(loss(p0 - e))) / 4e-3
+            np.testing.assert_allclose(g[a], fd, rtol=5e-2, atol=1e-6)
+
     def test_checkpointed_scan_same_value_and_grad(self):
         mesh, src, rcv = self._setup()
         steps = 64

@@ -20,37 +20,34 @@ import re
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("hrir_dir")
-    ap.add_argument("out", help="output .npz path")
-    ap.add_argument("--az-bins", type=int, default=24)
-    ap.add_argument("--el-bins", type=int, default=9)
-    args = ap.parse_args()
-
+def bake(hrir_dir: str, out: str, az_bins: int = 24, el_bins: int = 9,
+         verbose: bool = True) -> np.ndarray:
+    """Bake the (az_bins, el_bins, 2, 8) energy table; writes ``out`` .npz
+    and returns the table."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from wayverb_tpu.signal.multiband import per_band_energy
     from wayverb_tpu.utils.audio import read_wav
 
-    table = np.zeros((args.az_bins, args.el_bins, 2, 8))
-    counts = np.zeros((args.az_bins, args.el_bins))
+    table = np.zeros((az_bins, el_bins, 2, 8))
+    counts = np.zeros((az_bins, el_bins))
 
-    for name in sorted(os.listdir(args.hrir_dir)):
+    for name in sorted(os.listdir(hrir_dir)):
         if not name.lower().endswith(".wav"):
             continue
         nums = re.findall(r"-?\d+", name)
         if len(nums) < 2:
-            print(f"skipping {name}: no az/el in filename")
+            if verbose:
+                print(f"skipping {name}: no az/el in filename")
             continue
         az_deg, el_deg = float(nums[0]), float(nums[1])
-        data, sr = read_wav(os.path.join(args.hrir_dir, name))
+        data, sr = read_wav(os.path.join(hrir_dir, name))
         if data.shape[0] < 2:
             data = np.vstack([data, data])
-        az_bin = int(round(az_deg / 360.0 * args.az_bins)) % args.az_bins
-        el_bin = int(np.clip(round(el_deg / 180.0 * args.el_bins)
-                             + args.el_bins // 2, 0, args.el_bins - 1))
+        az_bin = int(round(az_deg / 360.0 * az_bins)) % az_bins
+        el_bin = int(np.clip(round(el_deg / 180.0 * el_bins)
+                             + el_bins // 2, 0, el_bins - 1))
         for ch in range(2):
             energy = np.asarray(per_band_energy(
                 jnp.asarray(data[ch], dtype=jnp.float32), sr))
@@ -59,9 +56,22 @@ def main():
 
     filled = counts > 0
     table[filled] /= counts[filled][:, None, None]
-    print(f"baked {int(filled.sum())}/{filled.size} direction bins")
-    np.savez(args.out, table=table)
-    print("wrote", args.out)
+    if verbose:
+        print(f"baked {int(filled.sum())}/{filled.size} direction bins")
+    np.savez(out, table=table)
+    if verbose:
+        print("wrote", out)
+    return table
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("hrir_dir")
+    ap.add_argument("out", help="output .npz path")
+    ap.add_argument("--az-bins", type=int, default=24)
+    ap.add_argument("--el-bins", type=int, default=9)
+    args = ap.parse_args()
+    bake(args.hrir_dir, args.out, args.az_bins, args.el_bins)
 
 
 if __name__ == "__main__":

@@ -117,8 +117,14 @@ class Engine:
             self.ray_grid = build_ray_grid(soup)
 
     def run(self, source, receiver, key,
-            raytracer_params: RaytracerParameters = RaytracerParameters()
-            ) -> CombinedResults:
+            raytracer_params: RaytracerParameters = RaytracerParameters(),
+            waveguide_time: Optional[float] = None,
+            time_quantum: float = 0.1) -> CombinedResults:
+        """``waveguide_time``: fix the waveguide duration statically and the
+        whole run jits without data-dependent recompiles; when None it is
+        derived from the trace (one host sync) and rounded UP to
+        ``time_quantum`` so near-identical scenes reuse the compiled
+        waveguide scan instead of recompiling per duration."""
         env = self.environment
         min_absorption = float(jnp.min(self.surfaces.absorption))
         depth = tracer.compute_optimum_reflection_number(
@@ -145,7 +151,12 @@ class Engine:
         image_source = apply_distance_pressure(
             image_source, env.acoustic_impedance)
 
-        max_stochastic_time = trace_res.max_time()
+        if waveguide_time is not None:
+            max_stochastic_time = waveguide_time
+        else:
+            import math
+            max_stochastic_time = time_quantum * math.ceil(
+                trace_res.max_time() / time_quantum)
 
         if self.waveguide_params.bands > 1:
             bands = wgrun.canonical_multiband(

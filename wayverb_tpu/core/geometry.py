@@ -226,11 +226,15 @@ def scene_aabb(soup: TriangleSoup) -> Box:
                tuple(map(float, jnp.max(v, axis=0))))
 
 
-def box_scene(box: Box, surface_index: int = 0) -> TriangleSoup:
-    """A 12-triangle shoebox with inward-facing geometry (one material).
+def box_scene(box: Box, surface_index: int = 0,
+              per_wall_surfaces=None) -> TriangleSoup:
+    """A 12-triangle shoebox with inward-facing geometry.
 
     Mirrors the reference's ``geo::get_scene_data(box)`` used by all the
-    shoebox validation experiments.
+    shoebox validation experiments.  ``per_wall_surfaces``: optional (6,)
+    material indices in wall order (x-lo, x-hi, y-lo, y-hi, z-lo, z-hi) —
+    the multi-material variant (reference scenes attach a surface per
+    face via the model loader).
     """
     lo = jnp.asarray(box.min_corner, dtype=jnp.float32)
     hi = jnp.asarray(box.max_corner, dtype=jnp.float32)
@@ -252,7 +256,11 @@ def box_scene(box: Box, surface_index: int = 0) -> TriangleSoup:
         tris.append((a, b, c))
         tris.append((a, c, d))
     triangles = jnp.asarray(tris, dtype=jnp.int32)
-    surfaces = jnp.full((len(tris),), surface_index, dtype=jnp.int32)
+    if per_wall_surfaces is not None:
+        surfaces = jnp.repeat(
+            jnp.asarray(per_wall_surfaces, dtype=jnp.int32), 2)
+    else:
+        surfaces = jnp.full((len(tris),), surface_index, dtype=jnp.int32)
     return TriangleSoup(corners, triangles, surfaces)
 
 

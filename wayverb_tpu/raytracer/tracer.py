@@ -146,7 +146,15 @@ def trace(soup: TriangleSoup, surfaces: Surface, source, receiver, key,
         vols = jnp.where(mask[:, None], volumes, 0.0)
         return hist.at[bin_idx, az, el].add(vols, mode="drop")
 
-    if accel is not None:
+    from wayverb_tpu.raytracer.mt_pallas import PallasTriangles
+    if isinstance(accel, PallasTriangles):
+        from wayverb_tpu.raytracer.mt_pallas import (mt_intersection,
+                                                     mt_line_of_sight)
+        intersect = lambda p, d, ex: mt_intersection(      # noqa: E731
+            p, d, accel, exclude_triangle=ex)
+        los = lambda a, b, ex: mt_line_of_sight(           # noqa: E731
+            a, b, accel, exclude_triangle=ex)
+    elif accel is not None:
         from wayverb_tpu.raytracer.accel import (grid_intersection,
                                                  grid_line_of_sight)
         intersect = lambda p, d, ex: grid_intersection(    # noqa: E731

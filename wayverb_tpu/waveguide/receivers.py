@@ -95,6 +95,66 @@ class DirectionalReceiver:
         return velocity, (intensity, p)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class InterpolatedReceiver:
+    """Trilinear pressure tap at a CONTINUOUS position — differentiable
+    w.r.t. ``position`` (BASELINE: gradients w.r.t. receiver positions).
+
+    The 8-corner cell is fixed at construction (the cell containing the
+    nominal position); within it the interpolation — and its position
+    gradient — is exact.
+    """
+
+    corner_idx: Any      # (8,) flat indices (binary corner order zyx)
+    base_position: Any   # (3,) position of corner 0
+    position: Any        # (3,) continuous tap position — differentiable
+    spacing: Any
+
+    def tree_flatten(self):
+        return (self.corner_idx, self.base_position, self.position,
+                self.spacing), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def init_state(self, dtype=jnp.float32):
+        return ()
+
+    def tap(self, field_flat, state):
+        vals = field_flat[self.corner_idx]               # (8,)
+        f = jnp.clip((self.position - self.base_position) / self.spacing,
+                     0.0, 1.0)                            # (3,)
+        bits = jnp.asarray([[(c >> a) & 1 for a in range(3)]
+                            for c in range(8)], dtype=jnp.float32)
+        w = jnp.prod(jnp.where(bits > 0, f[None, :], 1.0 - f[None, :]),
+                     axis=-1)
+        return state, jnp.sum(w * vals)
+
+
+def make_interpolated_receiver(desc: MeshDescriptor, position
+                               ) -> InterpolatedReceiver:
+    loc = desc.locator(position)
+    base = np.asarray(desc.position(loc))
+    if np.any(base > np.asarray(position)):
+        loc = loc - (base > np.asarray(position)).astype(loc.dtype)
+        base = np.asarray(desc.position(loc))
+    dims = np.asarray(desc.dimensions)
+    corners = np.stack([loc + [(c >> a) & 1 for a in range(3)]
+                        for c in range(8)])
+    if np.any(corners < 0) or np.any(corners >= dims):
+        raise RuntimeError("interpolation cell leaves the mesh")
+    flat = np.ravel_multi_index(
+        (corners[:, 0], corners[:, 1], corners[:, 2]),
+        desc.dimensions).astype(np.int32)
+    return InterpolatedReceiver(
+        corner_idx=jnp.asarray(flat),
+        base_position=jnp.asarray(base.astype(np.float32)),
+        position=jnp.asarray(position, dtype=jnp.float32),
+        spacing=jnp.float32(desc.spacing))
+
+
 def make_directional_receiver(desc: MeshDescriptor, sample_rate: float,
                               ambient_density: float, position
                               ) -> DirectionalReceiver:

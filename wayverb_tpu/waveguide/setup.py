@@ -323,12 +323,47 @@ def build_structure(desc: MeshDescriptor, inside: np.ndarray,
     slot_inner_idx = np.where(slot_ok, flat(slot_loc), 0).astype(np.int32)
     slot_mask = slot_mask * slot_ok
 
-    # surface assignment: 1D closest triangle; 2D/3D inherit via their own
-    # position (equivalent up to half a cell; documented divergence from the
-    # reference's first-1D-neighbour scan)
+    # surface assignment (reference boundary_coefficient_program.cpp):
+    # 1D (face) nodes take the closest triangle's surface (:243-308); 2D
+    # edge nodes inherit each slot's surface from the adjacent 1D node of
+    # the corresponding wall (step along the OTHER inner direction, :360);
+    # 3D corner nodes step along the other TWO (:430).  Nodes whose
+    # inheritance target is missing (degenerate geometry) fall back to
+    # their own closest triangle.
     positions = desc.node_positions()[is_boundary]
     surf_idx = _closest_triangle_surface(positions, soup)
     slot_coef = np.tile(surf_idx[:, None], (1, 3)).astype(np.int32)
+
+    row_map = np.full(dims, -1, dtype=np.int64)
+    row_map[b_loc[:, 0], b_loc[:, 1], b_loc[:, 2]] = \
+        np.arange(b_loc.shape[0])
+
+    def inherit(rows, step_slots):
+        """slot s of ``rows`` ← 1D neighbour reached by stepping along the
+        offsets of the OTHER inner-direction slots in ``step_slots``."""
+        for s in range(3):
+            others = [o for o in range(3) if o != s and o in step_slots]
+            if s not in step_slots:
+                continue
+            step = np.zeros((len(rows), 3), dtype=np.int64)
+            for o in others:
+                step += DIRECTION_OFFSETS[
+                    np.clip(b_inner[rows, o], 0, 5)]
+            tgt = b_loc[rows] + step
+            okr = np.all((tgt >= 0) & (tgt < np.asarray(dims)), axis=-1)
+            trow = np.where(okr, row_map[np.clip(tgt[:, 0], 0, dims[0] - 1),
+                                         np.clip(tgt[:, 1], 0, dims[1] - 1),
+                                         np.clip(tgt[:, 2], 0, dims[2] - 1)],
+                            -1)
+            good = (trow >= 0) & (b_cnt[np.maximum(trow, 0)] == 1)
+            slot_coef[rows[good], s] = surf_idx[trow[good]]
+
+    rows2 = np.nonzero(b_cnt == 2)[0]
+    if len(rows2):
+        inherit(rows2, step_slots=(0, 1))
+    rows3 = np.nonzero(b_cnt == 3)[0]
+    if len(rows3):
+        inherit(rows3, step_slots=(0, 1, 2))
 
     interior_mask = (category == 1).astype(np.float32)
 

@@ -224,6 +224,85 @@ def make_gaussian_source(desc: MeshDescriptor, centre, sdev: float,
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PositionGaussianSource:
+    """Gaussian-ball soft source whose weights are a TRACED function of a
+    continuous position — the IR differentiates w.r.t. ``position``
+    (BASELINE: "gradients w.r.t. source/receiver positions"; the reference
+    is not differentiable anywhere).
+
+    The support window (node indices/positions) is fixed at construction
+    around the nominal position; gradients are exact for perturbations that
+    keep the ball inside the window (support_radius_cells of margin).
+    """
+
+    node_indices: Any   # (K,) flat indices of the support window
+    node_positions: Any  # (K, 3) node positions
+    position: Any        # (3,) continuous source position — differentiable
+    sdev: Any            # spatial σ in metres
+    signal: Any          # (T,)
+
+    def tree_flatten(self):
+        return (self.node_indices, self.node_positions, self.position,
+                self.sdev, self.signal), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def weights(self):
+        d2 = jnp.sum((self.node_positions
+                      - self.position[None, :]) ** 2, axis=-1)
+        return jnp.exp(-d2 / (2.0 * self.sdev * self.sdev))
+
+    def inject(self, field_flat, t):
+        return field_flat.at[self.node_indices].add(
+            (self.weights() * self.signal[t]).astype(field_flat.dtype))
+
+    def patch_plane(self, plane, axis, coord, dims, t):
+        x, y, z = _unravel(self.node_indices, dims)
+        u, v = _plane_uv(x, y, z, axis)
+        on = (x, y, z)[axis] == coord
+        return plane.at[u, v].add(
+            (jnp.where(on, self.weights(), 0.0)
+             * self.signal[t]).astype(plane.dtype))
+
+    def patch_planes_stacked(self, stack, spec, dims, t):
+        pis, us, vs, ons = _inner_plane_targets(self.node_indices, spec,
+                                                dims)
+        val = (jnp.where(ons, self.weights()[None, :], 0.0)
+               * self.signal[t]).astype(stack.dtype)
+        return stack.at[pis, us, vs].add(val)
+
+
+def make_position_source(desc: MeshDescriptor, centre, sdev: float, signal,
+                         inside, support_radius_cells: int = 4
+                         ) -> PositionGaussianSource:
+    """Differentiable-position source: static inside-clipped support window
+    around ``centre``, traced Gaussian weights."""
+    loc = desc.locator(centre)
+    r = support_radius_cells
+    offs = np.stack(np.meshgrid(*([np.arange(-r, r + 1)] * 3),
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    locs = loc[None, :] + offs
+    dims = np.asarray(desc.dimensions)
+    ok = np.all((locs >= 0) & (locs < dims), axis=-1)
+    locs = locs[ok]
+    inside = np.asarray(inside)
+    locs = locs[inside[locs[:, 0], locs[:, 1], locs[:, 2]]]
+    flat = np.ravel_multi_index(
+        (locs[:, 0], locs[:, 1], locs[:, 2]), desc.dimensions)
+    return PositionGaussianSource(
+        node_indices=jnp.asarray(flat.astype(np.int32)),
+        node_positions=jnp.asarray(
+            np.asarray(desc.position(locs)).astype(np.float32)),
+        position=jnp.asarray(centre, dtype=jnp.float32),
+        sdev=jnp.float32(sdev),
+        signal=jnp.asarray(signal, dtype=jnp.float32),
+    )
+
+
 def impulse_signal(num_steps: int, amplitude: float) -> jnp.ndarray:
     """[amplitude, 0, 0, ...] — the canonical calibrated impulse input."""
     return jnp.zeros(num_steps, dtype=jnp.float32).at[0].set(amplitude)
