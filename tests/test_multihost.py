@@ -63,16 +63,19 @@ def test_two_process_sharded_matches_single(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {**os.environ}
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker script lives in tmp_path, so the repo root must reach
+    # sys.path explicitly (python puts the SCRIPT's dir there, not cwd)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env, cwd=os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
+        env=env, cwd=repo_root)
         for i in range(2)]
     outs = []
     try:

@@ -1,0 +1,142 @@
+"""Scene-format loaders (PLY ascii/binary, STL ascii/binary, OFF): each
+format writes a known box mesh and must load back to identical geometry.
+Reference capability: assimp multi-format import
+(``core/src/scene_data_loader.cpp:100``)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from wayverb_tpu.core.geometry import Box, box_scene
+from wayverb_tpu.core.scene import (load_off, load_ply, load_scene,
+                                    load_stl)
+
+BOX = Box((0, 0, 0), (1.0, 2.0, 3.0))
+
+
+def _box_arrays():
+    soup = box_scene(BOX)
+    return np.asarray(soup.vertices), np.asarray(soup.triangles)
+
+
+def _assert_same_geometry(soup, verts, tris):
+    got_v = np.asarray(soup.vertices)
+    got_t = np.asarray(soup.triangles)
+    assert got_t.shape == tris.shape
+    # vertex order may differ (STL welds); compare the triangle corner sets
+    ref = np.sort(verts[tris].reshape(len(tris), -1), axis=0)
+    got = np.sort(got_v[got_t].reshape(len(got_t), -1), axis=0)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_ply_ascii_roundtrip(tmp_path):
+    verts, tris = _box_arrays()
+    p = tmp_path / "box.ply"
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\ncomment box\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(tris)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+    scene = load_ply(str(p))
+    _assert_same_geometry(scene.soup, verts, tris)
+
+
+def test_ply_binary_roundtrip(tmp_path):
+    verts, tris = _box_arrays()
+    p = tmp_path / "box.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(verts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(tris)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        f.write(verts.astype("<f4").tobytes())
+        for t in tris:
+            f.write(struct.pack("<B3i", 3, *t))
+    scene = load_ply(str(p))
+    _assert_same_geometry(scene.soup, verts, tris)
+
+
+def test_stl_binary_roundtrip(tmp_path):
+    verts, tris = _box_arrays()
+    p = tmp_path / "box.stl"
+    with open(p, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for vi in t:
+                f.write(verts[vi].astype("<f4").tobytes())
+            f.write(struct.pack("<H", 0))
+    scene = load_stl(str(p))
+    _assert_same_geometry(scene.soup, verts, tris)
+    # welding: a closed box has exactly 8 distinct corners
+    assert np.asarray(scene.soup.vertices).shape == (8, 3)
+
+
+def test_stl_ascii_roundtrip(tmp_path):
+    verts, tris = _box_arrays()
+    p = tmp_path / "box.stl"
+    with open(p, "w") as f:
+        f.write("solid box\n")
+        for t in tris:
+            f.write("facet normal 0 0 0\nouter loop\n")
+            for vi in t:
+                v = verts[vi]
+                f.write(f"vertex {v[0]} {v[1]} {v[2]}\n")
+            f.write("endloop\nendfacet\n")
+        f.write("endsolid box\n")
+    scene = load_stl(str(p))
+    _assert_same_geometry(scene.soup, verts, tris)
+
+
+def test_off_roundtrip(tmp_path):
+    verts, tris = _box_arrays()
+    p = tmp_path / "box.off"
+    with open(p, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(verts)} {len(tris)} 0\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+    scene = load_off(str(p))
+    _assert_same_geometry(scene.soup, verts, tris)
+
+
+def test_load_scene_dispatch_and_unknown(tmp_path):
+    with pytest.raises(ValueError, match="unsupported scene format"):
+        load_scene(str(tmp_path / "scene.xyz"))
+
+
+def test_loaded_scene_is_simulation_ready(tmp_path):
+    """A loaded PLY box must classify/voxelise like the programmatic one."""
+    verts, tris = _box_arrays()
+    p = tmp_path / "box.ply"
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(tris)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+    scene = load_scene(str(p))
+    from wayverb_tpu.waveguide.descriptor import (
+        compute_adjusted_boundary, descriptor_for_box, grid_spacing)
+    from wayverb_tpu.waveguide.setup import classify_inside_scene
+    dx = grid_spacing(340.0, 1.0 / 3333.33)
+    adjusted = compute_adjusted_boundary(
+        BOX, np.asarray(BOX.centre()), dx)
+    desc = descriptor_for_box(adjusted, dx)
+    inside = classify_inside_scene(desc, scene.soup)
+    vol = inside.sum() * dx ** 3
+    np.testing.assert_allclose(vol, 6.0, rtol=0.15)   # 1×2×3 box

@@ -109,12 +109,10 @@ class Engine:
         self.mesh = wgrun.compute_mesh(
             soup, np.asarray(surfaces.absorption), spacing,
             waveguide_params.sample_rate, scene_box=scene_box, align=align)
-        # voxel-DDA ray acceleration pays off beyond a few hundred
-        # triangles (shoeboxes stay on the dense broadcast)
-        self.ray_grid = None
-        if soup.num_triangles > 100:
-            from wayverb_tpu.raytracer.accel import build_ray_grid
-            self.ray_grid = build_ray_grid(soup)
+        # platform-aware ray acceleration: MT Pallas kernel on TPU, voxel
+        # DDA off-TPU, dense broadcast for tiny scenes (accel.auto_accel)
+        from wayverb_tpu.raytracer.accel import auto_accel
+        self.ray_grid = auto_accel(soup)
 
     def run(self, source, receiver, key,
             raytracer_params: RaytracerParameters = RaytracerParameters(),

@@ -117,3 +117,180 @@ def _get_material(index: Dict[str, int], names: List[str], name: str) -> int:
 def _vertex_index(token: str, num_vertices: int) -> int:
     i = int(token.split("/")[0])
     return i - 1 if i > 0 else num_vertices + i
+
+
+# ---------------------------------------------------------------------------
+# additional mesh formats (reference: assimp handles obj/ply/stl/off/dae…,
+# ``core/src/scene_data_loader.cpp:100``; these dependency-free parsers
+# cover the common interchange formats so scene import does not hinge on
+# OBJ alone)
+
+def load_ply(path: str) -> SceneData:
+    """Parse a PLY file (ascii or binary_little/big_endian, triangulated
+    or polygonal faces — fan-triangulated like the OBJ path)."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements: List[Tuple[str, int, List[Tuple[str, str, str]]]] = []
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated PLY header")
+            parts = line.decode("ascii", "replace").strip().split()
+            if not parts or parts[0] == "comment":
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    # ("list", count_type, index_type)
+                    elements[-1][2].append(("list", parts[2], parts[3]))
+                else:
+                    # ("scalar", name, type)
+                    elements[-1][2].append(("scalar", parts[-1], parts[1]))
+            elif parts[0] == "end_header":
+                break
+        if fmt is None:
+            raise ValueError(f"{path}: PLY header has no format line")
+
+        _T = {"char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+              "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+              "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+              "float": "f4", "float32": "f4",
+              "double": "f8", "float64": "f8"}
+        endian = {"ascii": "=", "binary_little_endian": "<",
+                  "binary_big_endian": ">"}[fmt]
+
+        vertices = None
+        faces: List[List[int]] = []
+        for name, count, props in elements:
+            if fmt == "ascii":
+                rows = [f.readline().split() for _ in range(count)]
+                if name == "vertex":
+                    xyz = [i for i, p in enumerate(props)
+                           if p[1] in ("x", "y", "z")]
+                    vertices = np.asarray(
+                        [[float(r[i]) for i in xyz] for r in rows],
+                        dtype=np.float32)
+                elif name == "face":
+                    for r in rows:
+                        n = int(r[0])
+                        faces.append([int(v) for v in r[1:1 + n]])
+            else:
+                if name == "vertex" and all(p[0] == "scalar"
+                                            for p in props):
+                    dt = np.dtype([(p[1], endian + _T[p[2]])
+                                   for p in props])
+                    data = np.frombuffer(f.read(dt.itemsize * count), dt)
+                    vertices = np.stack(
+                        [data["x"], data["y"], data["z"]],
+                        axis=-1).astype(np.float32)
+                elif name == "face":
+                    for _ in range(count):
+                        # per-row read: list lengths may vary
+                        ldt = np.dtype(endian + _T[props[0][1]])
+                        n = int(np.frombuffer(f.read(ldt.itemsize),
+                                              ldt)[0])
+                        idt = np.dtype(endian + _T[props[0][2]])
+                        faces.append(np.frombuffer(
+                            f.read(idt.itemsize * n), idt).tolist())
+                else:
+                    # skip unneeded fixed-size elements
+                    size = sum(np.dtype(endian + _T[p[2]]).itemsize
+                               for p in props if p[0] == "scalar")
+                    f.read(size * count)
+
+    if vertices is None:
+        raise ValueError(f"{path}: PLY file has no vertex element")
+    triangles = []
+    for face in faces:
+        for i in range(1, len(face) - 1):
+            triangles.append((face[0], face[i], face[i + 1]))
+    return _soup_scene(vertices, triangles, path)
+
+
+def load_stl(path: str) -> SceneData:
+    """Parse an STL file (ascii or binary), welding duplicate vertices so
+    the soup is usable for inside/outside classification."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        data = f.read()
+    is_ascii = head == b"solid" and b"facet" in data[:1000]
+    tris = []
+    if is_ascii:
+        cur: List[Tuple[float, float, float]] = []
+        for line in data.decode("ascii", "replace").splitlines():
+            parts = line.split()
+            if parts[:1] == ["vertex"]:
+                cur.append(tuple(float(x) for x in parts[1:4]))
+                if len(cur) == 3:
+                    tris.append(cur)
+                    cur = []
+    else:
+        if len(data) < 84:
+            raise ValueError(f"{path}: truncated binary STL")
+        n = int(np.frombuffer(data[80:84], "<u4")[0])
+        rec = np.dtype([("normal", "<f4", 3), ("v", "<f4", (3, 3)),
+                        ("attr", "<u2")])
+        body = np.frombuffer(data[84:84 + rec.itemsize * n], rec)
+        tris = body["v"].tolist()
+    flat = np.asarray(tris, dtype=np.float32).reshape(-1, 3)
+    verts, inverse = np.unique(flat, axis=0, return_inverse=True)
+    triangles = inverse.reshape(-1, 3).tolist()
+    return _soup_scene(verts.astype(np.float32), triangles, path)
+
+
+def load_off(path: str) -> SceneData:
+    """Parse an OFF file (ascii)."""
+    with open(path) as f:
+        tokens: List[str] = []
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                tokens.extend(line.split())
+    if not tokens or tokens[0] != "OFF":
+        raise ValueError(f"{path}: not an OFF file")
+    nv, nf = int(tokens[1]), int(tokens[2])
+    pos = 4
+    vertices = np.asarray(tokens[pos:pos + 3 * nv],
+                          dtype=np.float32).reshape(nv, 3)
+    pos += 3 * nv
+    triangles = []
+    for _ in range(nf):
+        n = int(tokens[pos])
+        face = [int(t) for t in tokens[pos + 1:pos + 1 + n]]
+        pos += 1 + n
+        for i in range(1, len(face) - 1):
+            triangles.append((face[0], face[i], face[i + 1]))
+    return _soup_scene(vertices, triangles, path)
+
+
+_LOADERS = {".obj": load_obj, ".ply": load_ply, ".stl": load_stl,
+            ".off": load_off}
+
+
+def load_scene(path: str) -> SceneData:
+    """Load a scene by file extension (obj/ply/stl/off)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _LOADERS:
+        raise ValueError(
+            f"unsupported scene format {ext!r} (have {sorted(_LOADERS)})")
+    return _LOADERS[ext](path)
+
+
+def _soup_scene(vertices, triangles, path) -> SceneData:
+    tri_arr = np.asarray(triangles, dtype=np.int32).reshape(-1, 3)
+    if tri_arr.size and (tri_arr.min() < 0
+                         or tri_arr.max() >= len(vertices)):
+        raise ValueError(f"{path}: face references out-of-range vertex")
+    soup = TriangleSoup(
+        vertices=jnp.asarray(np.asarray(vertices, dtype=np.float32)),
+        triangles=jnp.asarray(tri_arr),
+        surfaces=jnp.zeros((tri_arr.shape[0],), dtype=jnp.int32),
+    )
+    return SceneData(soup=soup, material_names=["default"])

@@ -201,3 +201,22 @@ def grid_line_of_sight(start, end, grid: RayGrid, soup: TriangleSoup,
     t, _, any_hit = grid_intersection(start, direction, grid, soup,
                                       exclude_triangle=exclude_triangle)
     return (~any_hit) | (t >= dist * (1.0 - 1e-4))
+
+
+def auto_accel(soup: TriangleSoup):
+    """Best intersection backend for this scene on this platform.
+
+    Tiny scenes (shoeboxes) stay on the dense (R, T) broadcast — it is
+    exact, fuses well, and beats any structure below ~100 triangles.  On
+    TPU large scenes use the VMEM-tiled Möller–Trumbore Pallas kernel
+    (mt_pallas.py — ~8x the dense broadcast, ~45x the gather-bound DDA at
+    5k triangles); off-TPU the voxel DDA wins (gathers are cheap on CPU,
+    and the DDA does asymptotically less work).
+    """
+    if soup.num_triangles <= 100:
+        return None
+    from wayverb_tpu.raytracer.mt_pallas import (build_pallas_triangles,
+                                                 use_pallas)
+    if use_pallas():
+        return build_pallas_triangles(soup)
+    return build_ray_grid(soup)

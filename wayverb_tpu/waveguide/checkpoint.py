@@ -62,6 +62,9 @@ def _chunk_fn(structure, dims, regions, box_spec, source, receiver, carry,
                                  kernel_inject=kernel_inject)
         return jax.lax.scan(box_body, carry, offsets)
 
+    from wayverb_tpu.waveguide.stencil import expand_boundary_coefficients
+    expanded = expand_boundary_coefficients(structure)
+
     def body(c, t):
         current, previous, bstate, rstate, ok = c
         cur_flat = source.inject(current.reshape(num_nodes), t)
@@ -79,7 +82,7 @@ def _chunk_fn(structure, dims, regions, box_spec, source, receiver, carry,
             bstate = tuple(bstate)
         else:
             nxt, bstate = waveguide_step(current, previous, bstate,
-                                         structure)
+                                         structure, expanded)
         ok = ok & jnp.all(jnp.isfinite(nxt))
         return (nxt, current, bstate, rstate, ok), outputs
 

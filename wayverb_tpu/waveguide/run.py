@@ -147,18 +147,21 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
     O(num_steps/k + k) at the cost of one forward recompute (SURVEY §7
     hard part (b): differentiating through 10⁴–10⁵ timesteps).
     """
+    from wayverb_tpu.waveguide.stencil import expand_boundary_coefficients
     num_nodes = dims[0] * dims[1] * dims[2]
     current = jnp.zeros(dims, dtype=dtype)
     previous = jnp.zeros(dims, dtype=dtype)
     fstate = structure.initial_filter_state(dtype)
     rstate = receiver.init_state(dtype)
+    expanded = expand_boundary_coefficients(structure)
 
     def body(carry, t):
         current, previous, fstate, rstate, ok = carry
         cur_flat = source.inject(current.reshape(num_nodes), t)
         current = cur_flat.reshape(dims)
         rstate, outputs = receiver.tap(cur_flat, rstate)
-        nxt, fstate = waveguide_step(current, previous, fstate, structure)
+        nxt, fstate = waveguide_step(current, previous, fstate, structure,
+                                     expanded)
         ok = ok & jnp.all(jnp.isfinite(nxt))
         return (nxt, current, fstate, rstate, ok), outputs
 

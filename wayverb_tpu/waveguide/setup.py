@@ -58,11 +58,18 @@ class MeshStructure:
     b_slot_coef: Any       # (B,3) int32 surface index per slot
     coef_b: Any            # (S, order+1) f32 impedance numerators
     coef_a: Any            # (S, order+1) f32 impedance denominators
+    # dense packed per-node neighbour-weight bitfield driving the fused
+    # general-mesh step (stencil_pallas.weighted_step): bit d (0..5) set
+    # when neighbour d has weight >= 1, bit 6+d when weight == 2, bit 12 on
+    # interior/reentrant nodes (subtract-previous term).  One int32 volume
+    # replaces the (B, 6) flat neighbour gather of the slow path.
+    weight_code: Any       # (X,Y,Z) int32
 
     def tree_flatten(self):
         children = (self.interior_mask, self.b_node_idx, self.b_neighbor_idx,
                     self.b_neighbor_w, self.b_slot_mask, self.b_slot_inner_idx,
-                    self.b_slot_coef, self.coef_b, self.coef_a)
+                    self.b_slot_coef, self.coef_b, self.coef_a,
+                    self.weight_code)
         return children, None
 
     @classmethod
@@ -367,6 +374,18 @@ def build_structure(desc: MeshDescriptor, inside: np.ndarray,
 
     interior_mask = (category == 1).astype(np.float32)
 
+    # packed weight bitfield (see MeshStructure.weight_code): interior /
+    # reentrant nodes take the six unit weights plus the subtract-previous
+    # bit; boundary nodes encode their {0, 1, 2} neighbour weights; outside
+    # nodes stay 0 (pressure pinned to 0 by an all-zero row)
+    INTERIOR_CODE = 0x103F
+    weight_code = np.where(category == 1, INTERIOR_CODE, 0).astype(np.int32)
+    b_bits = ((w >= 1.0).astype(np.int32) << np.arange(6)).sum(axis=-1) \
+        | ((w == 2.0).astype(np.int32) << (6 + np.arange(6))).sum(axis=-1)
+    wc_flat = weight_code.reshape(-1)
+    wc_flat[b_node_idx] = b_bits
+    weight_code = wc_flat.reshape(dims)
+
     return MeshStructure(
         interior_mask=jnp.asarray(interior_mask),
         b_node_idx=jnp.asarray(b_node_idx),
@@ -377,6 +396,7 @@ def build_structure(desc: MeshDescriptor, inside: np.ndarray,
         b_slot_coef=jnp.asarray(slot_coef),
         coef_b=jnp.asarray(coef_b, dtype=jnp.float32),
         coef_a=jnp.asarray(coef_a, dtype=jnp.float32),
+        weight_code=jnp.asarray(weight_code),
     )
 
 

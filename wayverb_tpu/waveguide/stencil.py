@@ -55,17 +55,27 @@ def interior_step(current, previous, interior_mask):
     return (COURANT_SQ * _neighbor_sum(current) - previous) * interior_mask
 
 
-def boundary_step(current_flat, previous_flat, filter_state,
-                  s: MeshStructure) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Boundary-node pressures + advanced filter state.
+def expand_boundary_coefficients(s: MeshStructure):
+    """Per-node (B, 3, order+1) coefficient tables.
 
+    Hoist this OUT of the time loop: the (S, o+1) → (B, 3, o+1) gather is
+    constant across a run, and on TPU doing it per step costs ~50 MB of
+    gather traffic each iteration.  Gradients w.r.t. ``coef_b``/``coef_a``
+    still flow (the gather transposes to one scatter-add per run).
+    """
+    return s.coef_b[s.b_slot_coef], s.coef_a[s.b_slot_coef]
+
+
+def boundary_update(csw, prev, filter_state, s: MeshStructure,
+                    expanded=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Boundary-node pressures + advanced filter state, given each node's
+    weighted neighbour sum ``csw`` (B,) and previous pressure ``prev`` (B,).
+
+    ``expanded``: optional precomputed ``expand_boundary_coefficients(s)``.
     Returns (new_pressures (B,), new_filter_state (B, 3, order)).
     """
-    neigh = current_flat[s.b_neighbor_idx]                      # (B, 6)
-    csw = COURANT_SQ * jnp.sum(neigh * s.b_neighbor_w, axis=-1)
-
-    bc = s.coef_b[s.b_slot_coef]                                # (B, 3, o+1)
-    ac = s.coef_a[s.b_slot_coef]
+    bc, ac = expanded if expanded is not None \
+        else expand_boundary_coefficients(s)                    # (B, 3, o+1)
     b0 = bc[..., 0]
     a0 = ac[..., 0]
     m0 = filter_state[..., 0]                                   # (B, 3)
@@ -74,7 +84,6 @@ def boundary_step(current_flat, previous_flat, filter_state,
     fw = COURANT_SQ * jnp.sum(mask * m0 / b0, axis=-1)
     cw = COURANT * jnp.sum(mask * a0 / b0, axis=-1)
 
-    prev = previous_flat[s.b_node_idx]                          # (B,)
     new_p = (csw + fw + (cw - 1.0) * prev) / (1.0 + cw)
 
     # ghost-point filter update per slot (output discarded)
@@ -89,8 +98,22 @@ def boundary_step(current_flat, previous_flat, filter_state,
     return new_p, new_state
 
 
-def waveguide_step(current, previous, filter_state, s: MeshStructure):
-    """One full mesh update.  Returns (next_field, new_filter_state)."""
+def boundary_step(current_flat, previous_flat, filter_state,
+                  s: MeshStructure) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-based boundary pass (the original slow path, kept as the
+    oracle for ``waveguide_step``'s fused formulation)."""
+    neigh = current_flat[s.b_neighbor_idx]                      # (B, 6)
+    csw = COURANT_SQ * jnp.sum(neigh * s.b_neighbor_w, axis=-1)
+    prev = previous_flat[s.b_node_idx]                          # (B,)
+    return boundary_update(csw, prev, filter_state, s)
+
+
+def waveguide_step_reference(current, previous, filter_state,
+                             s: MeshStructure):
+    """One full mesh update via the (B, 6) gather boundary pass.
+
+    Kept as a parity oracle; ``waveguide_step`` below is the fast path.
+    """
     from wayverb_tpu.waveguide.stencil_pallas import interior_step_auto
     nxt = interior_step_auto(current, previous, s.interior_mask)
     flat_shape = current.shape[0] * current.shape[1] * current.shape[2]
@@ -98,4 +121,39 @@ def waveguide_step(current, previous, filter_state, s: MeshStructure):
     prev_flat = previous.reshape(flat_shape)
     bp, new_state = boundary_step(cur_flat, prev_flat, filter_state, s)
     nxt_flat = nxt.reshape(flat_shape).at[s.b_node_idx].set(bp)
+    return nxt_flat.reshape(current.shape), new_state
+
+
+def waveguide_step(current, previous, filter_state, s: MeshStructure,
+                   expanded=None):
+    """One full mesh update (fused general path).
+
+    The dense weighted pass (``stencil_pallas.weighted_step``, driven by the
+    packed ``s.weight_code`` bitfield) yields the interior update AND every
+    boundary node's weighted neighbour sum in one kernel; the compact pass
+    then only gathers one value per boundary node, advances the impedance
+    filters, and scatters the corrected pressures — the (B, 6) neighbour
+    gather of ``waveguide_step_reference`` disappears (VERDICT r2 #8; the
+    reference's one-kernel-per-step treatment is ``program.cpp:393-487``).
+
+    ``b_node_idx`` comes from np.argwhere, so it is sorted and unique —
+    the gather/scatter hints below let XLA skip its out-of-bounds and
+    collision handling on the hot path.
+
+    Returns (next_field, new_filter_state).
+    """
+    from wayverb_tpu.waveguide.stencil_pallas import weighted_step
+    dense = weighted_step(current, previous, s.weight_code)
+    flat_shape = current.shape[0] * current.shape[1] * current.shape[2]
+    dense_flat = dense.reshape(flat_shape)
+    csw = dense_flat.at[s.b_node_idx].get(
+        indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")                               # (B,)
+    prev = previous.reshape(flat_shape).at[s.b_node_idx].get(
+        indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
+    bp, new_state = boundary_update(csw, prev, filter_state, s, expanded)
+    nxt_flat = dense_flat.at[s.b_node_idx].set(
+        bp, indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
     return nxt_flat.reshape(current.shape), new_state

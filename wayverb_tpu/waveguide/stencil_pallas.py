@@ -97,6 +97,189 @@ def interior_step_jnp(current, previous, interior_mask):
     return interior_step(current, previous, interior_mask)
 
 
+# ---------------------------------------------------------------------------
+# fused general-mesh step: weighted neighbour sum driven by a packed
+# per-node bitfield (MeshStructure.weight_code).  One dense pass yields the
+# interior update AND every boundary node's weighted neighbour sum (csw),
+# replacing the slow path's (B, 6) flat gather (VERDICT r2 #8).
+#
+#   out[x] = λ²·Σ_d w_d(x)·p[x+e_d] − interior(x)·p⁻[x]
+#   w_d(x) = bit(d) + bit(6+d) of weight_code[x]   ∈ {0, 1, 2}
+#
+# Direction order d = 0..5 ↔ (−x, +x, −y, +y, −z, +z), matching
+# descriptor.DIRECTION_OFFSETS and the shift order of ``_kernel`` above.
+
+_OPPOSITE = (1, 0, 3, 2, 5, 4)
+
+
+def _shifts_in_kernel(c, lo_ref, hi_ref, i, n):
+    """The six neighbour views p[x+e_d] of a (XT, Y, Z) block, with x-halos
+    from the adjacent blocks and zero fill at global walls."""
+    row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    up = jnp.concatenate([lo_ref[XT - 1:], c[:-1]], axis=0)
+    dn = jnp.concatenate([c[1:], hi_ref[:1]], axis=0)
+    up = jnp.where((i == 0) & (row == 0), jnp.zeros_like(up), up)
+    dn = jnp.where((i == n - 1) & (row == XT - 1), jnp.zeros_like(dn), dn)
+    zy = jnp.zeros_like(c[:, :1])
+    zz = jnp.zeros_like(c[:, :, :1])
+    return (up, dn,
+            jnp.concatenate([zy, c[:, :-1]], axis=1),
+            jnp.concatenate([c[:, 1:], zy], axis=1),
+            jnp.concatenate([zz, c[:, :, :-1]], axis=2),
+            jnp.concatenate([c[:, :, 1:], zz], axis=2))
+
+
+def _weight(W, d):
+    return (((W >> d) & 1) + ((W >> (6 + d)) & 1)).astype(jnp.float32)
+
+
+def _wkernel(cur_lo_ref, cur_ref, cur_hi_ref, prev_ref, code_ref, out_ref):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    c = cur_ref[...]
+    W = code_ref[...]
+    shifts = _shifts_in_kernel(c, cur_lo_ref, cur_hi_ref, i, n)
+    acc = jnp.zeros_like(c)
+    for d in range(6):
+        acc = acc + _weight(W, d) * shifts[d]
+    is_int = ((W >> 12) & 1).astype(c.dtype)
+    out_ref[...] = COURANT_SQ * acc - is_int * prev_ref[...]
+
+
+def _wkernel_bwd(g_lo_ref, g_ref, g_hi_ref, w_lo_ref, w_ref, w_hi_ref,
+                 out_ref):
+    """cur̄[y] = λ²·Σ_d w_d(y−e_d)·ḡ(y−e_d) = λ²·Σ_dd shift_dd(ḡ)·
+    w_opp(dd)(shift_dd position) — the transpose of the weighted sum."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    g = g_ref[...]
+    gs = _shifts_in_kernel(g, g_lo_ref, g_hi_ref, i, n)
+    W = w_ref[...]
+    ws = _shifts_in_kernel(W, w_lo_ref, w_hi_ref, i, n)
+    acc = jnp.zeros_like(g)
+    for dd in range(6):
+        acc = acc + _weight(ws[dd], _OPPOSITE[dd]) * gs[dd]
+    out_ref[...] = COURANT_SQ * acc
+
+
+def _wcall(kernel, a, b_extra, X, Y, Z, dtype):
+    nb = X // XT
+
+    def tile(i):
+        return (i, 0, 0)
+
+    def tile_lo(i):
+        return (jnp.maximum(i - 1, 0), 0, 0)
+
+    def tile_hi(i):
+        return (jnp.minimum(i + 1, nb - 1), 0, 0)
+
+    def spec(im):
+        return pl.BlockSpec((XT, Y, Z), im, memory_space=pltpu.VMEM)
+
+    specs = []
+    args = []
+    for arr, haloed in a:
+        if haloed:
+            specs += [spec(tile_lo), spec(tile), spec(tile_hi)]
+            args += [arr, arr, arr]
+        else:
+            specs.append(spec(tile))
+            args.append(arr)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=specs,
+        out_specs=spec(tile),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        interpret=b_extra,
+    )(*args)
+
+
+def weighted_step_jnp(current, previous, weight_code):
+    """jnp oracle/fallback for the fused general step."""
+    import numpy as np
+    from wayverb_tpu.waveguide.descriptor import DIRECTION_OFFSETS
+
+    acc = jnp.zeros_like(current)
+    for d in range(6):
+        off = DIRECTION_OFFSETS[d]
+        ax = int(np.argmax(np.abs(np.asarray(off))))
+        o = int(off[ax])
+        n = current.shape[ax]
+        src = [slice(None)] * 3
+        pad = [(0, 0)] * 3
+        if o == 1:
+            src[ax] = slice(1, n)
+            pad[ax] = (0, 1)
+        else:
+            src[ax] = slice(0, n - 1)
+            pad[ax] = (1, 0)
+        shifted = jnp.pad(current[tuple(src)], pad)
+        w = (((weight_code >> d) & 1) +
+             ((weight_code >> (6 + d)) & 1)).astype(current.dtype)
+        acc = acc + w * shifted
+    is_int = ((weight_code >> 12) & 1).astype(current.dtype)
+    return COURANT_SQ * acc - is_int * previous
+
+
+@jax.custom_vjp
+def weighted_step(current, previous, weight_code):
+    """Dense fused step: interior update + boundary csw in one pass."""
+    if use_pallas(current.shape):
+        X, Y, Z = current.shape
+        return _wcall(_wkernel,
+                      [(current, True), (previous, False),
+                       (weight_code, False)],
+                      False, X, Y, Z, current.dtype)
+    return weighted_step_jnp(current, previous, weight_code)
+
+
+def _weighted_fwd(current, previous, weight_code):
+    return weighted_step(current, previous, weight_code), weight_code
+
+
+def _weighted_bwd(weight_code, g):
+    import numpy as np
+    from jax.dtypes import float0
+    if use_pallas(g.shape):
+        X, Y, Z = g.shape
+        cur_bar = _wcall(_wkernel_bwd,
+                         [(g, True), (weight_code, True)],
+                         False, X, Y, Z, g.dtype)
+    else:
+        # transpose of the jnp formulation: shift the product w_d·ḡ the
+        # other way (y+e_dd reads use w_opp(dd) at the shifted site)
+        from wayverb_tpu.waveguide.descriptor import DIRECTION_OFFSETS
+        acc = jnp.zeros_like(g)
+        for dd in range(6):
+            d = _OPPOSITE[dd]
+            w = (((weight_code >> d) & 1) +
+                 ((weight_code >> (6 + d)) & 1)).astype(g.dtype)
+            prod = w * g
+            off = DIRECTION_OFFSETS[dd]
+            ax = int(np.argmax(np.abs(np.asarray(off))))
+            o = int(off[ax])
+            n = g.shape[ax]
+            src = [slice(None)] * 3
+            pad = [(0, 0)] * 3
+            if o == 1:
+                src[ax] = slice(1, n)
+                pad[ax] = (0, 1)
+            else:
+                src[ax] = slice(0, n - 1)
+                pad[ax] = (1, 0)
+            acc = acc + jnp.pad(prod[tuple(src)], pad)
+        cur_bar = COURANT_SQ * acc
+    is_int = ((weight_code >> 12) & 1).astype(g.dtype)
+    prev_bar = -is_int * g
+    return (cur_bar, prev_bar,
+            np.zeros(weight_code.shape, dtype=float0))
+
+
+weighted_step.defvjp(_weighted_fwd, _weighted_bwd)
+
+
 def use_pallas(shape=None) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
