@@ -145,3 +145,44 @@ class TestWeightedStepVJP:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(rp),
                                    atol=1e-5)
+
+
+class TestCarriedBoundaryParity:
+    def test_run_waveguide_matches_manual_reference_loop(self):
+        """run_waveguide's carried boundary-prev optimisation (patch_tap
+        compact injection mirror) must reproduce the step-by-step reference
+        loop with a HardSource, boundary filters included."""
+        import jax.numpy as jnp
+        from wayverb_tpu.waveguide.receivers import NodeReceiver
+        from wayverb_tpu.waveguide.run import run_waveguide
+        from wayverb_tpu.waveguide.sources import (HardSource,
+                                                   impulse_signal)
+
+        desc, s = rotated_box_mesh()
+        dims = desc.dimensions
+        inside_locs = np.argwhere(np.asarray(s.interior_mask) > 0)
+        src_loc = inside_locs[len(inside_locs) // 2]
+        src_idx = int(np.ravel_multi_index(tuple(src_loc), dims))
+        steps = 14
+        source = HardSource(node_idx=jnp.asarray(src_idx, dtype=jnp.int32),
+                            signal=impulse_signal(steps, 1.0))
+        receiver = NodeReceiver(
+            node_idx=jnp.asarray(src_idx + 1, dtype=jnp.int32))
+
+        out = run_waveguide(s, dims, source, receiver, steps)
+        got = np.asarray(out["outputs"])
+        assert bool(out["stable"])
+
+        # manual loop with the gather-based oracle step
+        n = int(np.prod(dims))
+        cur = jnp.zeros(dims)
+        prev = jnp.zeros(dims)
+        fstate = s.initial_filter_state()
+        ref = []
+        for t in range(steps):
+            cur_flat = source.inject(cur.reshape(n), t)
+            cur = cur_flat.reshape(dims)
+            ref.append(float(cur_flat[src_idx + 1]))
+            nxt, fstate = waveguide_step_reference(cur, prev, fstate, s)
+            prev, cur = cur, nxt
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5)

@@ -222,6 +222,29 @@ class TestMultiband:
         for b in bands:
             assert np.all(np.isfinite(np.asarray(b.pressure)))
 
+    def test_multiband_rt_orders_with_absorption(self):
+        """Reverberation-time sanity for the multiband runner: a band run
+        with high absorption must decay much faster than one with low
+        absorption (reference canonical.h:141-177 flat-coefficient band
+        reruns; RT oracle pattern of bin/rt60)."""
+        box = Box((0, 0, 0), (1.4, 1.5, 1.6))
+        # band 0 dead (a=0.6), band 1 live (a=0.05)
+        absorption = np.tile(np.asarray([0.6, 0.05, 0.05, 0.05,
+                                         0.05, 0.05, 0.05, 0.05]), (1, 1))
+        mesh = wgrun.shoebox_mesh(box, absorption, DX, FS)
+        bands = wgrun.canonical_multiband(
+            mesh, absorption, (0.7, 0.7, 0.5), (0.7, 0.7, 1.1),
+            0.12, num_bands=2)
+        decays = []
+        for b in bands:
+            p = np.asarray(b.pressure)
+            e = np.cumsum(p[::-1] ** 2)[::-1]        # Schroeder integral
+            e = e / e[0]
+            # time (in steps) to fall 20 dB
+            idx = np.argmax(e < 1e-2)
+            decays.append(idx if idx > 0 else len(e))
+        assert decays[0] < 0.6 * decays[1], decays
+
 
 class TestDifferentiability:
     def test_gradient_wrt_boundary_coefficient(self):

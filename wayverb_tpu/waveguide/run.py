@@ -147,7 +147,9 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
     O(num_steps/k + k) at the cost of one forward recompute (SURVEY §7
     hard part (b): differentiating through 10⁴–10⁵ timesteps).
     """
-    from wayverb_tpu.waveguide.stencil import expand_boundary_coefficients
+    from wayverb_tpu.waveguide.stencil import (boundary_pressures,
+                                               expand_boundary_coefficients,
+                                               waveguide_step_carried)
     num_nodes = dims[0] * dims[1] * dims[2]
     current = jnp.zeros(dims, dtype=dtype)
     previous = jnp.zeros(dims, dtype=dtype)
@@ -155,17 +157,32 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
     rstate = receiver.init_state(dtype)
     expanded = expand_boundary_coefficients(structure)
 
+    # boundary previous-pressure carry: previous_t[b] equals last step's
+    # computed boundary pressures plus the injection's effect, so sources
+    # exposing ``patch_tap`` (exact compact injection mirror) skip one
+    # sparse gather per step; others re-gather (always correct)
+    patch_tap = getattr(source, "patch_tap", None)
+    pb0 = boundary_pressures(previous, structure)
+    bp0 = boundary_pressures(current, structure)
+
     def body(carry, t):
-        current, previous, fstate, rstate, ok = carry
+        current, previous, fstate, rstate, pb, bp_last, ok = carry
         cur_flat = source.inject(current.reshape(num_nodes), t)
         current = cur_flat.reshape(dims)
         rstate, outputs = receiver.tap(cur_flat, rstate)
-        nxt, fstate = waveguide_step(current, previous, fstate, structure,
-                                     expanded)
+        if patch_tap is not None:
+            pb_next = patch_tap(structure.b_node_idx, bp_last, t)
+            prev_b = pb
+        else:
+            pb_next = pb            # unused placeholder
+            prev_b = None           # gather inside the step
+        nxt, fstate, bp = waveguide_step_carried(
+            current, previous, prev_b, fstate, structure, expanded)
         ok = ok & jnp.all(jnp.isfinite(nxt))
-        return (nxt, current, fstate, rstate, ok), outputs
+        return (nxt, current, fstate, rstate, pb_next, bp, ok), outputs
 
-    init = (current, previous, fstate, rstate, jnp.asarray(True))
+    init = (current, previous, fstate, rstate, pb0, bp0,
+            jnp.asarray(True))
     if checkpoint_every and num_steps > checkpoint_every:
         k = checkpoint_every
         num_segments = -(-num_steps // k)
@@ -183,7 +200,7 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
             outputs)
     else:
         carry, outputs = jax.lax.scan(body, init, jnp.arange(num_steps))
-    return {"outputs": outputs, "stable": carry[4]}
+    return {"outputs": outputs, "stable": carry[6]}
 
 
 def run_waveguide_regions(structure: MeshStructure, dims, source, receiver,

@@ -142,6 +142,29 @@ def waveguide_step(current, previous, filter_state, s: MeshStructure,
 
     Returns (next_field, new_filter_state).
     """
+    nxt, new_state, _ = waveguide_step_carried(
+        current, previous, None, filter_state, s, expanded)
+    return nxt, new_state
+
+
+def boundary_pressures(field, s: MeshStructure):
+    """(B,) pressures at the boundary nodes of a dense field."""
+    n = field.shape[0] * field.shape[1] * field.shape[2]
+    return field.reshape(n).at[s.b_node_idx].get(
+        indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
+
+
+def waveguide_step_carried(current, previous, prev_b, filter_state,
+                           s: MeshStructure, expanded=None):
+    """``waveguide_step`` with the boundary-node previous pressures carried
+    compactly: ``prev_b`` is last step's returned ``bp`` (the values this
+    step would otherwise re-gather from ``previous``), saving one sparse
+    gather per step.  Pass ``prev_b=None`` to gather instead (first step /
+    compatibility).
+
+    Returns (next_field, new_filter_state, bp) — carry ``bp`` forward.
+    """
     from wayverb_tpu.waveguide.stencil_pallas import weighted_step
     dense = weighted_step(current, previous, s.weight_code)
     flat_shape = current.shape[0] * current.shape[1] * current.shape[2]
@@ -149,11 +172,10 @@ def waveguide_step(current, previous, filter_state, s: MeshStructure,
     csw = dense_flat.at[s.b_node_idx].get(
         indices_are_sorted=True, unique_indices=True,
         mode="promise_in_bounds")                               # (B,)
-    prev = previous.reshape(flat_shape).at[s.b_node_idx].get(
-        indices_are_sorted=True, unique_indices=True,
-        mode="promise_in_bounds")
-    bp, new_state = boundary_update(csw, prev, filter_state, s, expanded)
+    if prev_b is None:
+        prev_b = boundary_pressures(previous, s)
+    bp, new_state = boundary_update(csw, prev_b, filter_state, s, expanded)
     nxt_flat = dense_flat.at[s.b_node_idx].set(
         bp, indices_are_sorted=True, unique_indices=True,
         mode="promise_in_bounds")
-    return nxt_flat.reshape(current.shape), new_state
+    return nxt_flat.reshape(current.shape), new_state, bp
