@@ -1,0 +1,918 @@
+"""VMEM-resident multi-step shoebox waveguide: the round-4 "mega-kernel".
+
+Round 3's fused path (box_fused.py) streams the whole field HBM→VMEM→HBM
+every step — by construction it cannot beat HBM speed-of-light (measured
+52.8% of 6.83e10 upd/s on v5e).  This module removes the HBM wall entirely:
+the full pressure-field ping-pong (2 × (X, Y, Z) f32) plus the boundary
+IIR filter state live in VMEM *scratch* for K consecutive time steps per
+``pallas_call``.  Per-chunk HBM traffic is 2 field loads + 2 field stores,
+amortized to ~(4/K) fields per step, so the solver becomes VMEM-bandwidth
+bound: 1.2e11 node-updates/s measured for the bare stencil at 224×224×256
+— ~1.8× the HBM speed-of-light roofline of the one-step design
+(tools/bench/probe_vmem_resident2.py).
+
+Because the field is resident, the boundary-plane pressures that round 3
+carried between steps (to avoid ~50 µs XLA strided plane slices) are now
+just in-kernel static slices of the resident buffers; the ONLY carried
+boundary state is the ghost-point DF2T filter state.  Everything else —
+source injection, receiver taps, the six plane updates (reference
+``src/waveguide/src/program.cpp:331-388`` + ``filters.cpp`` canonical
+DF2T), the interior stencil and the plane splices — happens inside the
+kernel, one sub-step after another.
+
+Receiver taps leave the kernel as a (K, k) pressure block (k = the
+receiver's tap nodes, ``receiver.tap_nodes()``); the receiver's own
+arithmetic (velocity integration etc.) replays over that series
+afterwards at O(T·k) cost.
+
+**Differentiation** (w.r.t. face filter coefficients AND the source
+signal) is a hand-built chunk-level custom VJP.  The wave operator is
+self-adjoint, so the adjoint recursion is ANOTHER leapfrog with the same
+in-place two-buffer VMEM structure; the only nonlinearity is the
+coefficient dependence of the boundary-plane update, whose transpose the
+backward kernel obtains by ``jax.vjp``-ing the SAME pure-jnp plane
+function at per-step plane residuals (pl, in, prev, m0 — ~5.5 MB/step)
+that the grad-mode forward kernel streams to HBM.  Backward HBM traffic
+is therefore ~(4 fields / K) + residuals per step — the backward runs at
+the same VMEM-bound speed class as the forward.
+
+Capacity: 2·|field| + |state| + |plane scratch| must fit in ~119 MB of
+v5e VMEM (128 MB minus compiler slack) — ``mega_supported`` checks this;
+larger meshes fall back to the streaming fused path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wayverb_tpu.waveguide.box_fused import (PLANES, BoxSpec, _other_axes,
+                                             stacked_plane_shape)
+from wayverb_tpu.waveguide.descriptor import COURANT, COURANT_SQ
+
+XT = 8          # x rows per stencil slab
+VMEM_BUDGET = 119 * 1024 * 1024   # leave ~9 MB of 128 MB for the compiler
+
+
+def _make_shift2():
+    """arr[i] = arr_old[i + delta], zero fill (2-D plane arrays).
+
+    Mosaic cannot lower slice+concat on 2-D planes whose slice offset
+    breaks the (8, 128) tile alignment ("offset mismatch on non-concat
+    dimension"), so the shift is a circular roll with the wrapped line
+    masked to zero.  custom_vjp because ``pltpu.roll`` has no AD rule and
+    the transpose of shift(+1) is simply shift(−1) — this keeps the plane
+    math differentiable both at the XLA level and inside the backward
+    kernel's in-kernel ``jax.vjp``.
+    """
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+    def shift2(arr, axis: int, delta: int, kernel: bool = True):
+        if kernel:
+            n = arr.shape[axis]
+            idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis)
+            if delta == -1:
+                return jnp.where(idx == 0, 0.0, pltpu.roll(arr, 1, axis))
+            return jnp.where(idx == n - 1, 0.0,
+                             pltpu.roll(arr, n - 1, axis))
+        # XLA level (pltpu.roll only lowers inside TPU kernels)
+        z = jnp.zeros_like(jax.lax.slice_in_dim(arr, 0, 1, axis=axis))
+        if delta == -1:
+            body = jax.lax.slice_in_dim(arr, 0, arr.shape[axis] - 1,
+                                        axis=axis)
+            return jnp.concatenate([z, body], axis=axis)
+        body = jax.lax.slice_in_dim(arr, 1, arr.shape[axis], axis=axis)
+        return jnp.concatenate([body, z], axis=axis)
+
+    def fwd(arr, axis, delta, kernel):
+        return shift2(arr, axis, delta, kernel), None
+
+    def bwd(axis, delta, kernel, _, g):
+        return (shift2(g, axis, -delta, kernel),)
+
+    shift2.defvjp(fwd, bwd)
+    return shift2
+
+
+_shift2 = _make_shift2()
+
+
+def _plane_of(buf, axis: int, coord: int):
+    """Static 2-D plane slice of a resident (X, Y, Z) ref or array."""
+    if axis == 0:
+        return buf[coord]
+    if axis == 1:
+        return buf[:, coord, :]
+    return buf[:, :, coord]
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+# ---------------------------------------------------------------------------
+# boundary-plane step: ONE pure-jnp implementation shared by the forward
+# kernel, the backward kernel (via in-kernel jax.vjp) and tests
+
+def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
+                       kernel: bool = True):
+    """The six boundary-plane updates on natural-shape arrays.
+
+    ``pl6``/``in6``/``prev6``: 6-tuples of (U_p, V_p) pressures at the
+    boundary / first-inside / previous-boundary planes; ``st6``: 6-tuple
+    of (order, U_p, V_p) DF2T ghost-point state; ``fb``/``fa``:
+    (6, order+1) per-face impedance filter coefficients.
+
+    Returns ``(pplus6, newst6)``.  Pure jnp with Mosaic-lowerable ops
+    only, differentiable (``_shift2`` carries a custom VJP), linear in
+    all pressures/state — so its ``jax.vjp`` at a primal point with the
+    true m₀ but zeroed higher state slots yields EXACT cotangents (the
+    higher slots enter linearly with coefficient-independent weights).
+
+    Parity: reference ``program.cpp:331-388`` boundary update +
+    ``filters.cpp`` canonical DF2T ghost-point advance; oracle:
+    box_fused.plane_boundary_step_stacked (tests/test_box_mega.py).
+    """
+    order = st6[0].shape[0]
+    blo = tuple(spec.ilo[a] - 1 for a in range(3))
+    bhi = tuple(spec.ihi[a] + 1 for a in range(3))
+    b0 = [fb[p, 0] for p in range(6)]
+    a0 = [fa[p, 0] for p in range(6)]
+
+    pplus, newst = [], []
+    for pi, (a, side) in enumerate(PLANES):
+        a1, a2 = _other_axes(a)
+        U, V = spec.plane_shape(pi)
+        pc = blo[a] if side == 0 else bhi[a]
+        pl_p, in_p, prev_p = pl6[pi], in6[pi], prev6[pi]
+        m0 = st6[pi][0]
+
+        u = _iota((U, V), 0)
+        v = _iota((U, V), 1)
+        act = ((u >= blo[a1]) & (u <= bhi[a1]) &
+               (v >= blo[a2]) & (v <= bhi[a2])).astype(pl_p.dtype)
+        w_um = jnp.where(u == blo[a1], 0.0,
+                         jnp.where(u == bhi[a1], 2.0, 1.0))
+        w_up = jnp.where(u == blo[a1], 2.0,
+                         jnp.where(u == bhi[a1], 0.0, 1.0))
+        w_vm = jnp.where(v == blo[a2], 0.0,
+                         jnp.where(v == bhi[a2], 2.0, 1.0))
+        w_vp = jnp.where(v == blo[a2], 2.0,
+                         jnp.where(v == bhi[a2], 0.0, 1.0))
+
+        csw = COURANT_SQ * (2.0 * in_p
+                            + w_um * _shift2(pl_p, 0, -1, kernel)
+                            + w_up * _shift2(pl_p, 0, +1, kernel)
+                            + w_vm * _shift2(pl_p, 1, -1, kernel)
+                            + w_vp * _shift2(pl_p, 1, +1, kernel))
+
+        fw = m0 / b0[pi]
+        cw = jnp.full((U, V), a0[pi] / b0[pi])
+        # edge/corner coupling: nodes on this plane's in-plane box edges
+        # also belong to the neighbouring plane(s); the ghost closure sums
+        # each member plane's filter contribution
+        for edge_axis, on_rows in ((a1, True), (a2, False)):
+            for s2 in (0, 1):
+                q = PLANES.index((edge_axis, s2))
+                qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
+                qa = _other_axes(edge_axis)
+                raw = (st6[q][0, pc, :] if a == qa[0]
+                       else st6[q][0, :, pc])
+                if on_rows:
+                    mask = (u == qc).astype(pl_p.dtype)
+                    line = raw[None, :]
+                else:
+                    mask = (v == qc).astype(pl_p.dtype)
+                    line = raw[:, None]
+                fw = fw + mask * (line / b0[q])
+                cw = cw + mask * (a0[q] / b0[q])
+        cw = COURANT * cw
+
+        new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_p) \
+            / (1.0 + cw)
+        delta = prev_p - new_p
+        filt_in = -((a0[pi] * delta) / (b0[pi] * COURANT) + m0 / b0[pi])
+        out = (filt_in * b0[pi] + m0) / a0[pi]
+
+        slots = []
+        for j in range(order):
+            nxt = (st6[pi][j + 1] if j + 1 < order
+                   else jnp.zeros((U, V), filt_in.dtype))
+            slots.append(nxt + fb[pi, j + 1] * filt_in
+                         - fa[pi, j + 1] * out)
+        pplus.append(new_p)
+        newst.append(jnp.stack(slots, axis=0))
+    return tuple(pplus), tuple(newst)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+
+class _MegaKernel:
+    """K-sub-step forward kernel for one static BoxSpec/K/k/order.
+
+    ``grad=True`` additionally streams per-sub-step plane residuals
+    (pl, in, prev, m0) to an HBM output for the backward kernel.
+    """
+
+    def __init__(self, spec: BoxSpec, K: int, k: int, order: int,
+                 grad: bool = False):
+        if K % 2:
+            raise ValueError("chunk length K must be even")
+        if k < 1:
+            raise ValueError("receiver must tap at least one node")
+        self.spec, self.K, self.k, self.order = spec, K, k, order
+        self.grad = grad
+        X, Y, Z = spec.dims
+        if X % XT or Y % 8 or Z % 128:
+            raise ValueError(f"dims {spec.dims} not tile-aligned")
+        self.Umax, self.Vmax = stacked_plane_shape(spec)
+
+    # -- plane slices of the resident buffers ---------------------------
+    def _plane_slices(self, A, B):
+        spec = self.spec
+        blo = tuple(spec.ilo[a] - 1 for a in range(3))
+        bhi = tuple(spec.ihi[a] + 1 for a in range(3))
+        pl6, in6, prev6 = [], [], []
+        for pi, (a, side) in enumerate(PLANES):
+            pc = blo[a] if side == 0 else bhi[a]
+            pci = spec.ilo[a] if side == 0 else spec.ihi[a]
+            pl6.append(_plane_of(A, a, pc))
+            in6.append(_plane_of(A, a, pci))
+            prev6.append(_plane_of(B, a, pc))
+        return tuple(pl6), tuple(in6), tuple(prev6)
+
+    def _read_st(self, STS):
+        return tuple(STS[:, pi, :U, :V]
+                     for pi, (U, V) in enumerate(
+                         self.spec.plane_shape(p) for p in range(6)))
+
+    # -- one leapfrog sub-step ------------------------------------------
+    def _substep(self, A, B, STS, PPL, fb, fa, src, sig_t, tapx, taps_out,
+                 t, res_stage, res_hbm, res_sem):
+        """B <- next field (in place over previous); writes the tap row
+        and returns this sub-step's badness contribution."""
+        spec = self.spec
+        X, Y, Z = spec.dims
+        nb = X // XT
+        ilo, ihi = spec.ilo, spec.ihi
+        blo = tuple(v - 1 for v in ilo)
+        bhi = tuple(v + 1 for v in ihi)
+
+        # source injection into the resident current buffer (row patch)
+        sx, sy, sz, mode = src[0], src[1], src[2], src[3]
+        lane = _iota((1, 1, Z), 2)
+        row = A[pl.ds(sx, 1), pl.ds(sy, 1), :]
+        patched = jnp.where(mode == 1, sig_t, row + sig_t)
+        A[pl.ds(sx, 1), pl.ds(sy, 1), :] = jnp.where(
+            (lane == sz) & (mode > 0), patched, row)
+
+        # receiver taps (post-injection, matching run.py semantics)
+        tvals = []
+        for j in range(self.k):
+            trow = A[pl.ds(tapx[j, 0], 1), pl.ds(tapx[j, 1], 1), :]
+            tvals.append(jnp.sum(jnp.where(lane == tapx[j, 2], trow, 0.0)))
+        taps_out[pl.ds(t, 1), :] = jnp.stack(tvals)[None, :]
+
+        # boundary planes (before the stencil consumes/overwrites B)
+        fbv, fav = fb[...], fa[...]
+        pl6, in6, prev6 = self._plane_slices(A, B)
+        st6 = self._read_st(STS)
+
+        if self.grad:
+            # stage + stream (pl, in, prev, m0) for the backward kernel
+            for pi in range(6):
+                U, V = spec.plane_shape(pi)
+                res_stage[0, pi, :U, :V] = pl6[pi]
+                res_stage[1, pi, :U, :V] = in6[pi]
+                res_stage[2, pi, :U, :V] = prev6[pi]
+                res_stage[3, pi, :U, :V] = st6[pi][0]
+            cp = pltpu.make_async_copy(res_stage, res_hbm.at[t], res_sem)
+            cp.start()
+            cp.wait()
+
+        pplus, newst6 = plane_step_natural(spec, pl6, in6, prev6, st6,
+                                           fbv, fav)
+        for pi in range(6):
+            U, V = spec.plane_shape(pi)
+            STS[:, pi, :U, :V] = newst6[pi]
+
+        bad = jnp.float32(0.0)
+        for pi in range(6):
+            U, V = spec.plane_shape(pi)
+            PPL[pi, :U, :V] = pplus[pi]
+            bad = bad + (1.0 - jnp.isfinite(jnp.sum(pplus[pi]))
+                         .astype(jnp.float32))
+
+        # interior stencil + y/z splices, slab by slab (in place over B);
+        # splice precedence y < z < x mirrors box_fused._fwd_kernel
+        iy = _iota((1, Y, 1), 1)
+        iz = _iota((1, 1, Z), 2)
+        yz_m = ((iy >= ilo[1]) & (iy <= ihi[1]) &
+                (iz >= ilo[2]) & (iz <= ihi[2]))
+
+        def slab(j, _):
+            r = pl.multiple_of(j * XT, XT)
+            c = A[pl.ds(r, XT)]
+            up_row = jnp.where(j == 0, jnp.zeros((1, Y, Z), c.dtype),
+                               A[pl.ds(jnp.maximum(r - 1, 0), 1)])
+            dn_row = jnp.where(j == nb - 1, jnp.zeros((1, Y, Z), c.dtype),
+                               A[pl.ds(jnp.minimum(r + XT, X - 1), 1)])
+            acc = jnp.concatenate([up_row, c[:-1]], axis=0) \
+                + jnp.concatenate([c[1:], dn_row], axis=0)
+            zy = jnp.zeros_like(c[:, :1])
+            acc = acc + jnp.concatenate([zy, c[:, :-1]], axis=1)
+            acc = acc + jnp.concatenate([c[:, 1:], zy], axis=1)
+            zz = jnp.zeros_like(c[:, :, :1])
+            acc = acc + jnp.concatenate([zz, c[:, :, :-1]], axis=2)
+            acc = acc + jnp.concatenate([c[:, :, 1:], zz], axis=2)
+
+            gxr = r + _iota((XT, 1, 1), 0)
+            m = (gxr >= ilo[0]) & (gxr <= ihi[0]) & yz_m
+            res = jnp.where(m, COURANT_SQ * acc - B[pl.ds(r, XT)], 0.0)
+
+            # z-plane splices as lane selects
+            res = jnp.where(iz == blo[2],
+                            PPL[4, pl.ds(r, XT), :Y][:, :, None], res)
+            res = jnp.where(iz == bhi[2],
+                            PPL[5, pl.ds(r, XT), :Y][:, :, None], res)
+            bs = B.at[pl.ds(r, XT)]
+            bs[...] = res
+
+            # y splices as row stores, z-edge lines patched with the z
+            # planes' values (precedence)
+            zlo_blk = PPL[4, pl.ds(r, XT), :Y]
+            zhi_blk = PPL[5, pl.ds(r, XT), :Y]
+
+            def patched_y(y_row, yc):
+                y_row = jnp.where(iz[0] == blo[2],
+                                  zlo_blk[:, yc:yc + 1], y_row)
+                return jnp.where(iz[0] == bhi[2],
+                                 zhi_blk[:, yc:yc + 1], y_row)
+
+            bs[:, blo[1], :] = patched_y(PPL[2, pl.ds(r, XT), :Z], blo[1])
+            bs[:, bhi[1], :] = patched_y(PPL[3, pl.ds(r, XT), :Z], bhi[1])
+            return 0
+
+        jax.lax.fori_loop(0, nb, slab, 0)
+
+        # x-plane splices: static rows, final writers
+        B[blo[0]] = PPL[0, :spec.dims[1], :spec.dims[2]]
+        B[bhi[0]] = PPL[1, :spec.dims[1], :spec.dims[2]]
+        return bad
+
+    # -- kernel body -----------------------------------------------------
+    def kernel(self, src_ref, tap_ref, sig_ref, fb_ref, fa_ref,
+               cur_hbm, prev_hbm, st_hbm, *rest):
+        if self.grad:
+            (cur_out, prev_out, st_out, taps_out, bad_out, res_hbm,
+             A, B, STS, PPL, RSTG, sems) = rest
+            res_sem = sems.at[3]
+        else:
+            (cur_out, prev_out, st_out, taps_out, bad_out,
+             A, B, STS, PPL, sems) = rest
+            res_hbm = RSTG = res_sem = None
+
+        copies = [
+            pltpu.make_async_copy(cur_hbm, A, sems.at[0]),
+            pltpu.make_async_copy(prev_hbm, B, sems.at[1]),
+            pltpu.make_async_copy(st_hbm, STS, sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        def two(i, bad):
+            t0 = 2 * i
+            bad = bad + self._substep(A, B, STS, PPL, fb_ref, fa_ref,
+                                      src_ref, sig_ref[t0], tap_ref,
+                                      taps_out, t0, RSTG, res_hbm, res_sem)
+            bad = bad + self._substep(B, A, STS, PPL, fb_ref, fa_ref,
+                                      src_ref, sig_ref[t0 + 1], tap_ref,
+                                      taps_out, t0 + 1, RSTG, res_hbm,
+                                      res_sem)
+            return bad
+
+        bad = jax.lax.fori_loop(0, self.K // 2, two, jnp.float32(0.0))
+        bad_out[0, 0] = bad
+
+        copies = [
+            pltpu.make_async_copy(A, cur_out, sems.at[0]),
+            pltpu.make_async_copy(B, prev_out, sems.at[1]),
+            pltpu.make_async_copy(STS, st_out, sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: the adjoint leapfrog
+
+class _MegaBwdKernel:
+    """Chunk adjoint of _MegaKernel (reverse sub-step order).
+
+    Adjoint derivation: with F_{t+1} = S(F_t, F_{t−1}, P(F_t, F_{t−1},
+    st_t; θ)) and S the masked stencil + splice, the cotangent recursion
+    mirrors the forward leapfrog: carrying (P̂ = ĝF̃_{t+1}, Q̂ = partial
+    ĝF_t), each reverse sub-step does
+
+      Q̂ += λ²·Σ₆shift(M ⊙ P̂)            (stencil transpose, slab loop)
+      ĝpplus  = plane-coord extraction of P̂ under splice precedence
+      (ĝpl, ĝin, ĝprev, ĝst, ĝθ) = vjp(plane_step_natural)(ĝpplus, ĝst')
+      Q̂[plane/inner coords] += ĝpl/ĝin;  Q̂[taps] += ĝtaps_t
+      P̂ ← −(M ⊙ P̂);  P̂[plane coords] += ĝprev
+      ĝsig_t = Q̂[src];  if hard: Q̂[src] ← 0;  swap(P̂, Q̂)
+
+    The plane-step VJP runs **inside the kernel** on the residuals the
+    grad-mode forward streamed to HBM — the wave-field part of the
+    adjoint needs no forward values at all (linearity).
+    """
+
+    def __init__(self, spec: BoxSpec, K: int, k: int, order: int):
+        self.fwd = _MegaKernel(spec, K, k, order)
+        self.spec, self.K, self.k, self.order = spec, K, k, order
+        self.Umax, self.Vmax = stacked_plane_shape(spec)
+
+    def _substep(self, P, Q, GSTS, fbv, fav, src, tapx, gtaps, gsig_out,
+                 t, res_hbm, RSTG, res_sem, gth):
+        spec = self.spec
+        X, Y, Z = spec.dims
+        nb = X // XT
+        ilo, ihi = spec.ilo, spec.ihi
+        blo = tuple(v - 1 for v in ilo)
+        bhi = tuple(v + 1 for v in ihi)
+        gfb, gfa = gth
+
+        # residuals for sub-step t
+        cp = pltpu.make_async_copy(res_hbm.at[t], RSTG, res_sem)
+        cp.start()
+        cp.wait()
+
+        iy = _iota((1, Y, 1), 1)
+        iz = _iota((1, 1, Z), 2)
+        yz_m = ((iy >= ilo[1]) & (iy <= ihi[1]) &
+                (iz >= ilo[2]) & (iz <= ihi[2]))
+
+        # 1. stencil transpose: Q += λ²·Σ shift(M·P), slab by slab
+        def masked_rows(r, n):
+            gxr = r + _iota((n, 1, 1), 0)
+            m = (gxr >= ilo[0]) & (gxr <= ihi[0]) & yz_m
+            return jnp.where(m, P[pl.ds(r, n)], 0.0)
+
+        def slab(j, _):
+            r = pl.multiple_of(j * XT, XT)
+            c = masked_rows(r, XT)
+            up_row = jnp.where(j == 0, jnp.zeros((1, Y, Z), c.dtype),
+                               masked_rows(jnp.maximum(r - 1, 0), 1))
+            dn_row = jnp.where(j == nb - 1, jnp.zeros((1, Y, Z), c.dtype),
+                               masked_rows(jnp.minimum(r + XT, X - 1), 1))
+            acc = jnp.concatenate([up_row, c[:-1]], axis=0) \
+                + jnp.concatenate([c[1:], dn_row], axis=0)
+            zy = jnp.zeros_like(c[:, :1])
+            acc = acc + jnp.concatenate([zy, c[:, :-1]], axis=1)
+            acc = acc + jnp.concatenate([c[:, 1:], zy], axis=1)
+            zz = jnp.zeros_like(c[:, :, :1])
+            acc = acc + jnp.concatenate([zz, c[:, :, :-1]], axis=2)
+            acc = acc + jnp.concatenate([c[:, :, 1:], zz], axis=2)
+            Qs = Q.at[pl.ds(r, XT)]
+            Qs[...] = Q[pl.ds(r, XT)] + COURANT_SQ * acc
+            return 0
+
+        jax.lax.fori_loop(0, nb, slab, 0)
+
+        # 2. boundary-plane cotangents from P̂ under splice precedence
+        # (x planes final writers; z over y on shared lines)
+        ix_x = _iota((X, 1), 0)
+        keep_x = (ix_x != blo[0]) & (ix_x != bhi[0])
+        lz = _iota((1, Z), 1)
+        ly = _iota((1, Y), 1)
+        keep_yz = (lz != blo[2]) & (lz != bhi[2])
+        gp = [
+            P[blo[0]], P[bhi[0]],
+            jnp.where(keep_x & keep_yz, P[:, blo[1], :], 0.0),
+            jnp.where(keep_x & keep_yz, P[:, bhi[1], :], 0.0),
+            jnp.where(keep_x & jnp.full((1, Y), True),
+                      P[:, :, blo[2]], 0.0),
+            jnp.where(keep_x & jnp.full((1, Y), True),
+                      P[:, :, bhi[2]], 0.0),
+        ]
+
+        # 3. plane-step VJP at the saved residuals
+        pl6 = tuple(RSTG[0, pi, :U, :V] for pi, (U, V) in enumerate(
+            spec.plane_shape(p) for p in range(6)))
+        in6 = tuple(RSTG[1, pi, :U, :V] for pi, (U, V) in enumerate(
+            spec.plane_shape(p) for p in range(6)))
+        prev6 = tuple(RSTG[2, pi, :U, :V] for pi, (U, V) in enumerate(
+            spec.plane_shape(p) for p in range(6)))
+        st_hat = []
+        for pi in range(6):
+            U, V = spec.plane_shape(pi)
+            m0 = RSTG[3, pi, :U, :V]
+            st_hat.append(jnp.concatenate(
+                [m0[None], jnp.zeros((self.order - 1, U, V), m0.dtype)],
+                axis=0))
+        gst_in = tuple(GSTS[:, pi, :U, :V] for pi, (U, V) in enumerate(
+            spec.plane_shape(p) for p in range(6)))
+
+        _, pullback = jax.vjp(
+            functools.partial(plane_step_natural, spec),
+            pl6, in6, prev6, tuple(st_hat), fbv, fav)
+        gpl6, gin6, gprev6, gst6, gfb_c, gfa_c = pullback(
+            (tuple(gp), gst_in))
+        gfb = gfb + gfb_c
+        gfa = gfa + gfa_c
+        for pi in range(6):
+            U, V = spec.plane_shape(pi)
+            GSTS[:, pi, :U, :V] = gst6[pi]
+
+        # 4. scatter ĝpl/ĝin into Q̂ (contributions to ĝF_t at plane and
+        # inner coords; overlapping lines accumulate)
+        def add_plane(buf, axis, coord, val):
+            if axis == 0:
+                buf[coord] = buf[coord] + val
+            elif axis == 1:
+                buf[:, coord, :] = buf[:, coord, :] + val
+            else:
+                buf[:, :, coord] = buf[:, :, coord] + val
+
+        for pi, (a, side) in enumerate(PLANES):
+            pc = blo[a] if side == 0 else bhi[a]
+            pci = ilo[a] if side == 0 else ihi[a]
+            add_plane(Q, a, pc, gpl6[pi])
+            add_plane(Q, a, pci, gin6[pi])
+
+        # 5. receiver-tap cotangents into Q̂
+        lane = _iota((1, 1, Z), 2)
+        for j in range(self.k):
+            trow = Q[pl.ds(tapx[j, 0], 1), pl.ds(tapx[j, 1], 1), :]
+            Q[pl.ds(tapx[j, 0], 1), pl.ds(tapx[j, 1], 1), :] = \
+                trow + jnp.where(lane == tapx[j, 2], gtaps[t, j], 0.0)
+
+        # 6. P̂ ← −(M ⊙ P̂) in place (second pass so step 1's neighbour
+        # reads saw the untouched buffer), then ĝprev at plane coords
+        def negmask(j, _):
+            r = pl.multiple_of(j * XT, XT)
+            Ps = P.at[pl.ds(r, XT)]
+            Ps[...] = -masked_rows(r, XT)
+            return 0
+
+        jax.lax.fori_loop(0, nb, negmask, 0)
+        for pi, (a, side) in enumerate(PLANES):
+            pc = blo[a] if side == 0 else bhi[a]
+            add_plane(P, a, pc, gprev6[pi])
+
+        # 7. source-signal cotangent; hard source blocks flow through F̃
+        sx, sy, sz, mode = src[0], src[1], src[2], src[3]
+        srow = Q[pl.ds(sx, 1), pl.ds(sy, 1), :]
+        gsig = jnp.sum(jnp.where(lane == sz, srow, 0.0)) * \
+            (mode > 0).astype(srow.dtype)
+        gsig_out[pl.ds(t, 1), :] = gsig[None, None]
+        Q[pl.ds(sx, 1), pl.ds(sy, 1), :] = jnp.where(
+            (lane == sz) & (mode == 1), 0.0, srow)
+        return (gfb, gfa)
+
+    def kernel(self, src_ref, tap_ref, fb_ref, fa_ref,
+               gtaps_ref, res_hbm, gnext_hbm, gcur_hbm, gst_hbm,
+               gnext_out, gcur_out, gst_out, gfb_out, gfa_out, gsig_out,
+               P, Q, GSTS, RSTG, sems):
+        copies = [
+            pltpu.make_async_copy(gnext_hbm, P, sems.at[0]),
+            pltpu.make_async_copy(gcur_hbm, Q, sems.at[1]),
+            pltpu.make_async_copy(gst_hbm, GSTS, sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        fbv, fav = fb_ref[...], fa_ref[...]
+
+        def two(i, gth):
+            t1 = self.K - 1 - 2 * i
+            gth = self._substep(P, Q, GSTS, fbv, fav, src_ref, tap_ref,
+                                gtaps_ref, gsig_out, t1, res_hbm, RSTG,
+                                sems.at[3], gth)
+            gth = self._substep(Q, P, GSTS, fbv, fav, src_ref, tap_ref,
+                                gtaps_ref, gsig_out, t1 - 1, res_hbm,
+                                RSTG, sems.at[3], gth)
+            return gth
+
+        gfb0 = jnp.zeros((6, self.order + 1), jnp.float32)
+        gfb, gfa = jax.lax.fori_loop(0, self.K // 2, two, (gfb0, gfb0))
+        gfb_out[...] = gfb
+        gfa_out[...] = gfa
+
+        copies = [
+            pltpu.make_async_copy(P, gnext_out, sems.at[0]),
+            pltpu.make_async_copy(Q, gcur_out, sems.at[1]),
+            pltpu.make_async_copy(GSTS, gst_out, sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders
+
+def _f32(*shape):
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
+def _build_call(spec: BoxSpec, K: int, k: int, order: int,
+                grad: bool = False, interpret: bool = False):
+    mk = _MegaKernel(spec, K, k, order, grad=grad)
+    X, Y, Z = spec.dims
+    Umax, Vmax = mk.Umax, mk.Vmax
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)      # noqa: E731
+    anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)       # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)      # noqa: E731
+    out_shape = [_f32(X, Y, Z), _f32(X, Y, Z),
+                 _f32(order, 6, Umax, Vmax), _f32(K, k), _f32(1, 1)]
+    out_specs = [anym(), anym(), anym(), vmem(), smem()]
+    scratch = [
+        pltpu.VMEM((X, Y, Z), jnp.float32),
+        pltpu.VMEM((X, Y, Z), jnp.float32),
+        pltpu.VMEM((order, 6, Umax, Vmax), jnp.float32),
+        pltpu.VMEM((6, Umax, Vmax), jnp.float32),
+    ]
+    if grad:
+        out_shape.append(_f32(K, 4, 6, Umax, Vmax))
+        out_specs.append(anym())
+        scratch.append(pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    return pl.pallas_call(
+        mk.kernel,
+        in_specs=[smem(), smem(), smem(), vmem(), vmem(),
+                  anym(), anym(), anym()],
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        input_output_aliases={5: 0, 6: 1, 7: 2},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int,
+                    interpret: bool = False):
+    mk = _MegaBwdKernel(spec, K, k, order)
+    X, Y, Z = spec.dims
+    Umax, Vmax = mk.Umax, mk.Vmax
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)      # noqa: E731
+    anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)       # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)      # noqa: E731
+    return pl.pallas_call(
+        mk.kernel,
+        in_specs=[smem(), smem(), vmem(), vmem(), vmem(),
+                  anym(), anym(), anym(), anym()],
+        out_shape=(
+            _f32(X, Y, Z), _f32(X, Y, Z),
+            _f32(order, 6, Umax, Vmax),
+            _f32(6, order + 1), _f32(6, order + 1), _f32(K, 1),
+        ),
+        out_specs=(anym(), anym(), anym(), vmem(), vmem(), vmem()),
+        scratch_shapes=[
+            pltpu.VMEM((X, Y, Z), jnp.float32),
+            pltpu.VMEM((X, Y, Z), jnp.float32),
+            pltpu.VMEM((order, 6, Umax, Vmax), jnp.float32),
+            pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# capacity / eligibility
+
+def mega_vmem_bytes(spec: BoxSpec, order: int) -> int:
+    X, Y, Z = spec.dims
+    Umax, Vmax = stacked_plane_shape(spec)
+    return 4 * (2 * X * Y * Z + (order + 4) * 6 * Umax * Vmax)
+
+
+def mega_supported(spec: Optional[BoxSpec], source, receiver,
+                   dtype=jnp.float32, state_dtype=None) -> bool:
+    """Mega-path eligibility: TPU backend, f32 field+state, a kernel-
+    injectable point source, a replayable receiver, tile-aligned dims and
+    the VMEM capacity bound."""
+    if spec is None or jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if dtype not in (jnp.float32, np.float32):
+        return False
+    if state_dtype is not None and state_dtype not in (jnp.float32,
+                                                       np.float32):
+        return False
+    if not hasattr(source, "kernel_injection"):
+        return False
+    if not hasattr(receiver, "tap_nodes"):
+        return False
+    X, Y, Z = spec.dims
+    if X % XT or Y % 8 or Z % 128:
+        return False
+    return mega_vmem_bytes(spec, 6) <= VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# tap replay
+
+class _SeqTapView:
+    """Sequential flat-field stand-in for replaying receiver.tap over a
+    (k,) row of kernel-extracted pressures.
+
+    Receivers read the field with one or more ``field[idx]`` gathers whose
+    index arrays, concatenated in read order, equal ``tap_nodes()``; each
+    ``__getitem__`` hands out the next segment of the row.
+    """
+
+    def __init__(self, row):
+        self._row = row
+        self._pos = 0
+
+    def __getitem__(self, idx):
+        n = int(np.prod(np.shape(idx))) if np.ndim(idx) else 1
+        seg = self._row[self._pos:self._pos + n]
+        self._pos += n
+        return seg.reshape(np.shape(idx))
+
+
+def replay_taps(receiver, taps, dtype=jnp.float32):
+    """Run the receiver's per-step arithmetic over the (T, k) kernel tap
+    series; returns stacked per-step outputs (same pytree as the scan in
+    run.run_waveguide_box)."""
+
+    def body(state, row):
+        state, out = receiver.tap(_SeqTapView(row), state)
+        return state, out
+
+    _, outputs = jax.lax.scan(body, receiver.init_state(dtype), taps)
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# chunked runner with custom VJP
+
+@functools.lru_cache(maxsize=16)
+def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
+               nchunks: int, interpret: bool):
+    """(taps, stable) = core(face_b, face_a, sig, src_info, tap_xyz) with
+    a chunk-level custom VJP (gradients w.r.t. face_b/face_a/sig)."""
+    fcall = _build_call(spec, chunk, k, order, interpret=interpret)
+    gcall = _build_call(spec, chunk, k, order, grad=True,
+                        interpret=interpret)
+    bcall = _build_bwd_call(spec, chunk, k, order, interpret=interpret)
+    dims = spec.dims
+    Umax, Vmax = stacked_plane_shape(spec)
+
+    def init_state():
+        return (jnp.zeros(dims, jnp.float32), jnp.zeros(dims, jnp.float32),
+                jnp.zeros((order, 6, Umax, Vmax), jnp.float32))
+
+    @jax.custom_vjp
+    def core(face_b, face_a, sig, src_info, tap_xyz):
+        cur, prev, st = init_state()
+
+        def body(carry, c):
+            cur, prev, st, bad = carry
+            s = jax.lax.dynamic_slice_in_dim(sig, c * chunk, chunk)
+            cur, prev, st, taps, b = fcall(src_info, tap_xyz, s,
+                                           face_b, face_a, cur, prev, st)
+            return (cur, prev, st, bad + b[0, 0]), taps
+
+        (cur, prev, st, bad), taps = jax.lax.scan(
+            body, (*init_state(), jnp.float32(0.0)), jnp.arange(nchunks))
+        stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
+        return taps, stable
+
+    def core_fwd(face_b, face_a, sig, src_info, tap_xyz):
+        def body(carry, c):
+            cur, prev, st, bad = carry
+            s = jax.lax.dynamic_slice_in_dim(sig, c * chunk, chunk)
+            cur, prev, st, taps, b, res = gcall(src_info, tap_xyz, s,
+                                                face_b, face_a, cur,
+                                                prev, st)
+            return (cur, prev, st, bad + b[0, 0]), (taps, res)
+
+        (cur, prev, st, bad), (taps, res) = jax.lax.scan(
+            body, (*init_state(), jnp.float32(0.0)), jnp.arange(nchunks))
+        stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
+        return (taps, stable), (face_b, face_a, src_info, tap_xyz, res)
+
+    def core_bwd(saved, ct):
+        face_b, face_a, src_info, tap_xyz, res = saved
+        gtaps, _ = ct
+
+        def body(carry, c):
+            gnext, gcur, gst, gfb, gfa = carry
+            gnext, gcur, gst, gfb_c, gfa_c, gsig_c = bcall(
+                src_info, tap_xyz, face_b, face_a, gtaps[c], res[c],
+                gnext, gcur, gst)
+            return (gnext, gcur, gst, gfb + gfb_c, gfa + gfa_c), \
+                gsig_c[:, 0]
+
+        z66 = jnp.zeros((6, order + 1), jnp.float32)
+        (gnext, gcur, gst, gfb, gfa), gsig = jax.lax.scan(
+            body, (*init_state(), z66, z66),
+            jnp.arange(nchunks - 1, -1, -1))
+        # gsig rows come out chunk-reversed; restore time order
+        gsig = jnp.flip(gsig, axis=0).reshape(nchunks * chunk)
+        f0 = lambda a: np.zeros(np.shape(a), jax.dtypes.float0)  # noqa
+        return (gfb, gfa, gsig, f0(src_info), f0(tap_xyz))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_runner(spec: BoxSpec, chunk: int, k: int, order: int,
+                   nchunks: int, interpret: bool):
+    core = _diff_core(spec, chunk, k, order, nchunks, interpret)
+
+    @jax.jit
+    def run(src_info, tap_xyz, sig, face_b, face_a):
+        taps, stable = core(face_b, face_a, sig, src_info, tap_xyz)
+        return taps.reshape(nchunks * chunk, k), stable
+
+    return run
+
+
+def run_waveguide_box_mega(structure, spec: BoxSpec, source, receiver,
+                           num_steps: int, chunk: int = 64,
+                           dtype=jnp.float32, interpret: bool = False
+                           ) -> dict:
+    """Mega-path twin of run.run_waveguide_box (same outputs contract).
+
+    ``chunk``: sub-steps per pallas_call (even; HBM traffic ~4 fields per
+    chunk).  Trailing steps are padded with zero signal; padded taps are
+    discarded (the post-``num_steps`` field state is not part of the
+    outputs contract beyond the stability check).
+
+    Host-side bookkeeping (receiver tap coordinates) requires CONCRETE
+    source/receiver index arrays — call outside jit; the hot loop inside
+    is jitted and cached per (spec, chunk, k, order, nchunks).
+    """
+    dims = spec.dims
+    order = structure.filter_order
+    face_idx = np.asarray(spec.face_surface, dtype=np.int32)
+    face_b = jnp.asarray(structure.coef_b)[face_idx].astype(jnp.float32)
+    face_a = jnp.asarray(structure.coef_a)[face_idx].astype(jnp.float32)
+
+    inj_idx0, _ = source.kernel_injection(dims, 0)
+    src_info = inj_idx0                              # (x, y, z, mode)
+    nchunks = -(-num_steps // chunk)
+    T = nchunks * chunk
+    sig = jnp.zeros((T,), jnp.float32).at[:num_steps].set(
+        jnp.asarray(source.signal, jnp.float32)[:num_steps])
+
+    tap_nodes = np.asarray(jax.device_get(receiver.tap_nodes())).reshape(-1)
+    k = int(tap_nodes.size)
+    tap_xyz = jnp.asarray(np.stack(np.unravel_index(tap_nodes, dims),
+                                   axis=-1).astype(np.int32))
+
+    run = _jitted_runner(spec, chunk, k, order, nchunks, interpret)
+    taps, stable = run(src_info, tap_xyz, sig, face_b, face_a)
+    outputs = replay_taps(receiver, taps[:num_steps], dtype)
+    return {"outputs": outputs, "stable": stable}
+
+
+def mega_canonical_loss_fn(structure, spec, source, receiver, num_steps,
+                           chunk: int = 64, interpret: bool = False):
+    """Differentiable (coef_b, coef_a, signal) → (taps, stable) closure on
+    the mega path, for gradient-based workflows and the bench backward.
+
+    Returns ``f(face_b, face_a, sig)`` plus the static tap metadata; the
+    caller builds its loss on the (num_steps, k) tap block (e.g. replay a
+    receiver over it) and differentiates straight through the chunk-level
+    custom VJP."""
+    dims = spec.dims
+    order = structure.filter_order
+    inj_idx0, _ = source.kernel_injection(dims, 0)
+    nchunks = -(-num_steps // chunk)
+    tap_nodes = np.asarray(jax.device_get(receiver.tap_nodes())).reshape(-1)
+    k = int(tap_nodes.size)
+    tap_xyz = jnp.asarray(np.stack(np.unravel_index(tap_nodes, dims),
+                                   axis=-1).astype(np.int32))
+    core = _diff_core(spec, chunk, k, order, nchunks, interpret)
+
+    def f(face_b, face_a, sig):
+        T = nchunks * chunk
+        sigp = jnp.zeros((T,), jnp.float32).at[:num_steps].set(
+            sig[:num_steps].astype(jnp.float32))
+        taps, stable = core(face_b, face_a, sigp, inj_idx0, tap_xyz)
+        return taps.reshape(T, k)[:num_steps], stable
+
+    return f

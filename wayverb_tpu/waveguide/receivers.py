@@ -33,6 +33,11 @@ class NodeReceiver:
     def init_state(self, dtype=jnp.float32):
         return ()
 
+    def tap_nodes(self):
+        """Flat indices this receiver reads, in ``tap`` read order (the
+        box_mega kernel extracts exactly these per step)."""
+        return jnp.reshape(self.node_idx, (1,))
+
     def tap(self, field_flat, state):
         return state, field_flat[self.node_idx]
 
@@ -55,6 +60,9 @@ class MultiNodeReceiver:
 
     def init_state(self, dtype=jnp.float32):
         return ()
+
+    def tap_nodes(self):
+        return jnp.reshape(self.node_idx, (-1,))
 
     def tap(self, field_flat, state):
         return state, field_flat[self.node_idx]
@@ -80,6 +88,10 @@ class DirectionalReceiver:
 
     def init_state(self, dtype=jnp.float32):
         return jnp.zeros(3, dtype=dtype)
+
+    def tap_nodes(self):
+        return jnp.concatenate([jnp.reshape(self.node_idx, (1,)),
+                                jnp.reshape(self.neighbor_idx, (-1,))])
 
     def tap(self, field_flat, velocity):
         """Returns (new_velocity, (intensity (3,), pressure ()))."""
@@ -121,6 +133,9 @@ class InterpolatedReceiver:
 
     def init_state(self, dtype=jnp.float32):
         return ()
+
+    def tap_nodes(self):
+        return jnp.reshape(self.corner_idx, (-1,))
 
     def tap(self, field_flat, state):
         vals = field_flat[self.corner_idx]               # (8,)

@@ -306,7 +306,20 @@ _run_waveguide_regions_jit = jax.jit(
 
 def execute(mesh: Mesh, source, receiver, num_steps: int,
             dtype=jnp.float32, kernel_inject: bool = True) -> dict:
-    """Run the mesh with the fastest applicable boundary path."""
+    """Run the mesh with the fastest applicable boundary path.
+
+    On TPU, shoebox meshes whose field ping-pong fits in VMEM route to
+    the multi-step mega-kernel (box_mega.py, ~1.8× the HBM-roofline of
+    the streaming fused path); everything else falls through to the
+    round-3 paths unchanged.
+    """
+    if mesh.box_spec is not None:
+        from wayverb_tpu.waveguide.box_mega import (mega_supported,
+                                                    run_waveguide_box_mega)
+        if mega_supported(mesh.box_spec, source, receiver, dtype):
+            return run_waveguide_box_mega(
+                mesh.structure, mesh.box_spec, source, receiver, num_steps,
+                dtype=dtype)
     if mesh.box_spec is not None:
         return _run_waveguide_box_jit(
             mesh.structure, mesh.box_spec, source, receiver, num_steps,
