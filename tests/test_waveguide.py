@@ -268,3 +268,27 @@ class TestDifferentiability:
 
         g = jax.grad(loss)(1.0)
         assert np.isfinite(g) and g != 0.0
+
+
+class TestMultibandVmap:
+    def test_vmap_matches_loop(self):
+        """The vmapped multiband runner (SURVEY §2.6 vmap-over-bands) must
+        reproduce the sequential per-band loop exactly."""
+        box = Box((0, 0, 0), (1.0, 1.1, 1.2))
+        absorption = np.tile(
+            np.asarray([0.3, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]), (1, 1))
+        mesh = wgrun.shoebox_mesh(box, absorption, DX, FS)
+        kw = dict(num_bands=2)
+        v = wgrun.canonical_multiband(
+            mesh, absorption, (0.5, 0.5, 0.5), (0.5, 0.5, 0.9), 0.02,
+            use_vmap=True, **kw)
+        l = wgrun.canonical_multiband(
+            mesh, absorption, (0.5, 0.5, 0.5), (0.5, 0.5, 0.9), 0.02,
+            use_vmap=False, **kw)
+        for bv, bl in zip(v, l):
+            np.testing.assert_allclose(np.asarray(bv.pressure),
+                                       np.asarray(bl.pressure), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(bv.intensity),
+                                       np.asarray(bl.intensity),
+                                       atol=1e-6)
+            assert bv.valid_hz == bl.valid_hz

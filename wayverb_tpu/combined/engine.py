@@ -89,10 +89,10 @@ class Engine:
                  environment: Environment = Environment(),
                  scene_box: Optional[Box] = None,
                  device_mesh=None):
-        """``device_mesh``: optional 1-D jax.sharding.Mesh — shoebox scenes
-        then run the waveguide leg on the sharded fused solver
-        (parallel.box_sharded), with the grid x dim padded to divide over
-        the mesh."""
+        """``device_mesh``: optional 1-D jax.sharding.Mesh — the waveguide
+        leg then runs on the sharded fused solver (parallel.box_sharded
+        for shoeboxes, parallel.general_sharded for loaded geometry),
+        with the grid x dim padded to divide over the mesh."""
         self.soup = soup
         self.surfaces = surfaces
         self.environment = environment
@@ -160,7 +160,8 @@ class Engine:
             bands = wgrun.canonical_multiband(
                 self.mesh, np.asarray(self.surfaces.absorption), source,
                 receiver, max_stochastic_time,
-                self.waveguide_params.bands, env)
+                self.waveguide_params.bands, env,
+                device_mesh=self.device_mesh)
         else:
             if self.device_mesh is not None and \
                     self.mesh.box_spec is not None:
@@ -169,6 +170,14 @@ class Engine:
                 wg_out = canonical_sharded(self.mesh, source, receiver,
                                            max_stochastic_time,
                                            self.device_mesh, env)
+            elif self.device_mesh is not None:
+                # general (loaded OBJ/PLY/STL) scenes shard too (r4):
+                # fused weight-code solver under shard_map
+                from wayverb_tpu.parallel.general_sharded import \
+                    canonical_general_sharded
+                wg_out = canonical_general_sharded(
+                    self.mesh, source, receiver, max_stochastic_time,
+                    self.device_mesh, env)
             else:
                 wg_out = wgrun.canonical(self.mesh, source, receiver,
                                          max_stochastic_time, env)

@@ -364,13 +364,22 @@ def canonical_multiband(mesh: Mesh, soup_surface_absorption, source_position,
                         receiver_position, simulation_time: float,
                         num_bands: int,
                         environment: Environment = Environment(),
-                        dtype=jnp.float32):
-    """Per-band reruns with flat (frequency-independent) boundaries.
+                        dtype=jnp.float32, use_vmap: bool = True,
+                        device_mesh=None):
+    """Per-band runs with flat (frequency-independent) boundaries.
 
     Parity: reference ``canonical.h:141-177`` — band b uses
     ``to_flat_coefficients(absorption[:, b])`` per surface and covers the
     hrtf band-edge range [edge_b, edge_{b+1}] Hz.  Returns a list of
     ``postprocess.BandpassBand``.
+
+    TPU-first: the mesh, source and receiver are band-INDEPENDENT — only
+    the flat (S, order+1) coefficient tables change — so the reference's
+    serial per-band reruns (``canonical.h:156-175``) become one
+    ``jax.vmap`` over the stacked tables (SURVEY §2.6 "vmap/pmap over
+    bands"): the whole multiband solve is a single compiled scan whose
+    batch dimension fills the chip.  ``use_vmap=False`` falls back to the
+    sequential loop (e.g. when ``bands × field`` exceeds device memory).
     """
     from wayverb_tpu.signal.multiband import band_edges
     from wayverb_tpu.waveguide.postprocess import BandpassBand
@@ -378,22 +387,84 @@ def canonical_multiband(mesh: Mesh, soup_surface_absorption, source_position,
 
     absorption = np.asarray(soup_surface_absorption)   # (S, bands)
     edges = np.asarray(band_edges(absorption.shape[1]))
-    out = []
-    for b in range(num_bands):
+
+    def band_tables(b):
         coeffs = [bdry.to_flat_coefficients(float(absorption[s, b]))
                   for s in range(absorption.shape[0])]
-        coef_b, coef_a = bdry.coefficient_table(coeffs)
-        structure = dc.replace(mesh.structure,
-                               coef_b=jnp.asarray(coef_b),
-                               coef_a=jnp.asarray(coef_a))
-        band_mesh = dc.replace(mesh, structure=structure)
-        result = canonical(band_mesh, source_position, receiver_position,
-                           simulation_time, environment, dtype)
-        out.append(BandpassBand(
-            pressure=result.pressure, intensity=result.intensity,
-            sample_rate=result.sample_rate,
-            valid_hz=(float(edges[b]), float(edges[b + 1]))))
-    return out
+        return bdry.coefficient_table(coeffs)
+
+    if device_mesh is not None or not use_vmap:
+        out = []
+        for b in range(num_bands):
+            coef_b, coef_a = band_tables(b)
+            structure = dc.replace(mesh.structure,
+                                   coef_b=jnp.asarray(coef_b),
+                                   coef_a=jnp.asarray(coef_a))
+            band_mesh = dc.replace(mesh, structure=structure)
+            if device_mesh is not None and mesh.box_spec is not None:
+                from wayverb_tpu.parallel.box_sharded import \
+                    canonical_sharded
+                result = canonical_sharded(
+                    band_mesh, source_position, receiver_position,
+                    simulation_time, device_mesh, environment, dtype)
+            elif device_mesh is not None:
+                from wayverb_tpu.parallel.general_sharded import \
+                    canonical_general_sharded
+                result = canonical_general_sharded(
+                    band_mesh, source_position, receiver_position,
+                    simulation_time, device_mesh, environment, dtype)
+            else:
+                result = canonical(band_mesh, source_position,
+                                   receiver_position, simulation_time,
+                                   environment, dtype)
+            out.append(BandpassBand(
+                pressure=result.pressure, intensity=result.intensity,
+                sample_rate=result.sample_rate,
+                valid_hz=(float(edges[b]), float(edges[b + 1]))))
+        return out
+
+    tables = [band_tables(b) for b in range(num_bands)]
+    cb_stack = jnp.stack([jnp.asarray(t[0]) for t in tables])
+    ca_stack = jnp.stack([jnp.asarray(t[1]) for t in tables])
+
+    desc = mesh.descriptor
+    fs = desc.sample_rate(environment.speed_of_sound)
+    num_steps = int(math.ceil(fs * simulation_time))
+    src_loc = mesh.require_inside(source_position)
+    rcv_loc = mesh.require_inside(receiver_position)
+    amplitude = rectilinear_calibration_factor(
+        desc.spacing, environment.acoustic_impedance)
+    source = HardSource(
+        node_idx=jnp.asarray(desc.flat_index(src_loc), dtype=jnp.int32),
+        signal=impulse_signal(num_steps, amplitude))
+    receiver = make_directional_receiver(
+        desc, fs, environment.ambient_density, desc.position(rcv_loc))
+
+    def run_band(coef_b, coef_a):
+        import dataclasses as dc2
+        structure = dc2.replace(mesh.structure, coef_b=coef_b,
+                                coef_a=coef_a)
+        # the non-mega solver paths (the mega kernel manages its own
+        # host-side bookkeeping and is not vmappable)
+        if mesh.box_spec is not None:
+            res = run_waveguide_box(structure, mesh.box_spec, source,
+                                    receiver, num_steps, dtype)
+        elif mesh.regions is not None:
+            res = run_waveguide_regions(structure, desc.dimensions,
+                                        source, receiver, num_steps,
+                                        tuple(mesh.regions), dtype)
+        else:
+            res = run_waveguide(structure, desc.dimensions, source,
+                                receiver, num_steps, dtype)
+        intensity, pressure = res["outputs"]
+        return pressure, intensity, res["stable"]
+
+    run_all = jax.jit(jax.vmap(run_band))
+    pressures, intensities, stables = run_all(cb_stack, ca_stack)
+    return [BandpassBand(
+        pressure=pressures[b], intensity=intensities[b], sample_rate=fs,
+        valid_hz=(float(edges[b]), float(edges[b + 1])))
+        for b in range(num_bands)]
 
 
 def shoebox_mesh(box: Box, absorption, spacing: float, sample_rate: float,

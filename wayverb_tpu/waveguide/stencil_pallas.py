@@ -294,3 +294,169 @@ def interior_step_auto(current, previous, interior_mask):
     if use_pallas(current.shape):
         return interior_step_pallas(current, previous, interior_mask)
     return interior_step_jnp(current, previous, interior_mask)
+
+
+# ---------------------------------------------------------------------------
+# sharded variant: explicit x-halo inputs for shard_map domain decomposition
+
+def _wkernel_haloed(cur_lo_ref, cur_ref, cur_hi_ref, prev_ref, code_ref,
+                    hlo_ref, hhi_ref, out_ref):
+    """_wkernel with shard halo rows replacing the zero grid edges.
+
+    ``hlo``/``hhi``: (1, Y, Z) ``current`` rows at local x = −1 / x = X
+    (the neighbour shards' edge rows; zeros at the global grid ends, which
+    reproduces the unsharded kernel exactly)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    c = cur_ref[...]
+    W = code_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    up = jnp.concatenate([cur_lo_ref[XT - 1:], c[:-1]], axis=0)
+    dn = jnp.concatenate([c[1:], cur_hi_ref[:1]], axis=0)
+    up = jnp.where((i == 0) & (row == 0), hlo_ref[...], up)
+    dn = jnp.where((i == n - 1) & (row == XT - 1), hhi_ref[...], dn)
+    zy = jnp.zeros_like(c[:, :1])
+    zz = jnp.zeros_like(c[:, :, :1])
+    shifts = (up, dn,
+              jnp.concatenate([zy, c[:, :-1]], axis=1),
+              jnp.concatenate([c[:, 1:], zy], axis=1),
+              jnp.concatenate([zz, c[:, :, :-1]], axis=2),
+              jnp.concatenate([c[:, :, 1:], zz], axis=2))
+    acc = jnp.zeros_like(c)
+    for d in range(6):
+        acc = acc + _weight(W, d) * shifts[d]
+    is_int = ((W >> 12) & 1).astype(c.dtype)
+    out_ref[...] = COURANT_SQ * acc - is_int * prev_ref[...]
+
+
+def _wkernel_bwd_haloed(g_lo_ref, g_ref, g_hi_ref, w_lo_ref, w_ref,
+                        w_hi_ref, gcur_ref, ghlo_ref, ghhi_ref):
+    """Adjoint of _wkernel_haloed w.r.t. ``current``, plus the halo-input
+    cotangents (the transposed shard_map ppermute routes them back to the
+    neighbours' edge rows).  Beyond-shard ḡ is zero here — the neighbour's
+    own ĝhalo carries that contribution."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    g = g_ref[...]
+    gs = _shifts_in_kernel(g, g_lo_ref, g_hi_ref, i, n)
+    W = w_ref[...]
+    ws = _shifts_in_kernel(W, w_lo_ref, w_hi_ref, i, n)
+    acc = jnp.zeros_like(g)
+    for dd in range(6):
+        acc = acc + _weight(ws[dd], _OPPOSITE[dd]) * gs[dd]
+    gcur_ref[...] = COURANT_SQ * acc
+
+    # hlo feeds only local row 0 through direction 0 (reads cur[r−1]);
+    # hhi only the last row through direction 1
+    @pl.when(i == 0)
+    def _():
+        ghlo_ref[...] = COURANT_SQ * _weight(W[:1], 0) * g[:1]
+
+    @pl.when(i == n - 1)
+    def _():
+        ghhi_ref[...] = COURANT_SQ * _weight(W[XT - 1:], 1) * g[XT - 1:]
+
+
+def _weighted_sharded_jnp(current, previous, weight_code, halos):
+    out = weighted_step_jnp(current, previous, weight_code)
+    w0 = (((weight_code[:1] >> 0) & 1)
+          + ((weight_code[:1] >> 6) & 1)).astype(current.dtype)
+    w1 = (((weight_code[-1:] >> 1) & 1)
+          + ((weight_code[-1:] >> 7) & 1)).astype(current.dtype)
+    out = out.at[:1].add(COURANT_SQ * w0 * halos[0])
+    out = out.at[-1:].add(COURANT_SQ * w1 * halos[1])
+    return out
+
+
+@jax.custom_vjp
+def weighted_step_sharded(current, previous, weight_code, halos):
+    """``weighted_step`` for one x-shard of a decomposed grid.
+
+    ``halos``: (hlo, hhi) pair of (1, Y, Z) ``current`` rows at local
+    x = −1 / x = X from the neighbouring shards (zeros at the global grid
+    ends).  Linear in (current, previous, halos); hand VJP emits halo
+    cotangents so the shard_map ppermute transposes correctly."""
+    if use_pallas(current.shape):
+        X, Y, Z = current.shape
+        nb = X // XT
+
+        def tile(i):
+            return (i, 0, 0)
+
+        def tile_lo(i):
+            return (jnp.maximum(i - 1, 0), 0, 0)
+
+        def tile_hi(i):
+            return (jnp.minimum(i + 1, nb - 1), 0, 0)
+
+        def spec(im, shape=(XT, Y, Z)):
+            return pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
+
+        def full():
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            _wkernel_haloed,
+            grid=(nb,),
+            in_specs=[spec(tile_lo), spec(tile), spec(tile_hi),
+                      spec(tile), spec(tile), full(), full()],
+            out_specs=spec(tile),
+            out_shape=jax.ShapeDtypeStruct((X, Y, Z), current.dtype),
+        )(current, current, current, previous, weight_code,
+          halos[0], halos[1])
+    return _weighted_sharded_jnp(current, previous, weight_code, halos)
+
+
+def _weighted_sharded_fwd(current, previous, weight_code, halos):
+    return weighted_step_sharded(current, previous, weight_code,
+                                 halos), weight_code
+
+
+def _weighted_sharded_bwd(weight_code, g):
+    import numpy as np
+    from jax.dtypes import float0
+    X, Y, Z = g.shape
+    if use_pallas(g.shape):
+        nb = X // XT
+
+        def tile(i):
+            return (i, 0, 0)
+
+        def tile_lo(i):
+            return (jnp.maximum(i - 1, 0), 0, 0)
+
+        def tile_hi(i):
+            return (jnp.minimum(i + 1, nb - 1), 0, 0)
+
+        def spec(im):
+            return pl.BlockSpec((XT, Y, Z), im, memory_space=pltpu.VMEM)
+
+        def full():
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        cur_bar, ghlo, ghhi = pl.pallas_call(
+            _wkernel_bwd_haloed,
+            grid=(nb,),
+            in_specs=[spec(tile_lo), spec(tile), spec(tile_hi),
+                      spec(tile_lo), spec(tile), spec(tile_hi)],
+            out_specs=(spec(tile), full(), full()),
+            out_shape=(jax.ShapeDtypeStruct((X, Y, Z), g.dtype),
+                       jax.ShapeDtypeStruct((1, Y, Z), g.dtype),
+                       jax.ShapeDtypeStruct((1, Y, Z), g.dtype)),
+        )(g, g, g, weight_code, weight_code, weight_code)
+    else:
+        # reuse the unsharded jnp transpose, then read off the halo rows
+        cur_bar, _, _ = _weighted_bwd(weight_code, g)
+        w0 = (((weight_code[:1] >> 0) & 1)
+              + ((weight_code[:1] >> 6) & 1)).astype(g.dtype)
+        w1 = (((weight_code[-1:] >> 1) & 1)
+              + ((weight_code[-1:] >> 7) & 1)).astype(g.dtype)
+        ghlo = COURANT_SQ * w0 * g[:1]
+        ghhi = COURANT_SQ * w1 * g[-1:]
+    is_int = ((weight_code >> 12) & 1).astype(g.dtype)
+    prev_bar = -is_int * g
+    return (cur_bar, prev_bar,
+            np.zeros(weight_code.shape, dtype=float0), (ghlo, ghhi))
+
+
+weighted_step_sharded.defvjp(_weighted_sharded_fwd, _weighted_sharded_bwd)
