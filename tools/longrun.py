@@ -13,6 +13,7 @@ Two modes:
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -73,6 +74,9 @@ def mode_hw(steps):
     assert stable == 1.0, "long run went unstable"
     assert tail_peak < peak, "no decay?"
     print("LONGRUN_HW_PASS")
+    return {"mode": "hw", "steps": steps, "shape": [224, 224, 256],
+            "wall_s": dt, "stable": stable, "peak": peak,
+            "tail_peak": tail_peak, "energy": energy}
 
 
 def mode_f64(steps):
@@ -98,14 +102,25 @@ def mode_f64(steps):
     assert bool(o32["stable"]) and bool(o64["stable"])
     assert drift / scale < 2e-3, "f32 filter state drifted beyond bound"
     print("LONGRUN_F64_PASS")
+    return {"mode": "f64", "steps": steps, "shape": [32, 32, 128],
+            "peak": float(scale), "max_drift": float(drift),
+            "rel_drift": float(drift / scale),
+            "bound": 2e-3}
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["hw", "f64"], default="hw")
     ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--json", type=str, default=None,
+                    help="append the result record to this JSON file")
     args = ap.parse_args()
-    if args.mode == "hw":
-        mode_hw(args.steps)
-    else:
+    rec = mode_hw(args.steps) if args.mode == "hw" else \
         mode_f64(args.steps)
+    if args.json:
+        data = []
+        if os.path.exists(args.json):
+            data = json.load(open(args.json))
+        data = [d for d in data if d.get("mode") != rec["mode"]]
+        data.append(rec)
+        json.dump(data, open(args.json, "w"), indent=1)

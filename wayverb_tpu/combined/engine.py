@@ -127,6 +127,11 @@ class Engine:
         min_absorption = float(jnp.min(self.surfaces.absorption))
         depth = tracer.compute_optimum_reflection_number(
             max(min_absorption, 1e-3))
+        # depth is a static scan length (recompile per value); round UP to
+        # a multiple of 8 so small absorption edits reuse the compiled
+        # bounce scan — extra bounces only tighten the energy tail
+        # (compute_optimum_reflection_number is a sufficiency bound)
+        depth = -(-depth // 8) * 8
 
         trace_res = tracer.trace_jit(
             self.soup, self.surfaces, source, receiver, key,

@@ -171,18 +171,32 @@ def load_ply(path: str) -> SceneData:
             if fmt == "ascii":
                 rows = [f.readline().split() for _ in range(count)]
                 if name == "vertex":
-                    xyz = [i for i, p in enumerate(props)
-                           if p[1] in ("x", "y", "z")]
+                    if any(p[0] == "list" for p in props):
+                        raise ValueError(
+                            f"{path}: PLY vertex element with a list "
+                            "property is unsupported (token positions "
+                            "would be ambiguous)")
+                    # column index BY NAME — a file declaring properties
+                    # in a non-(x, y, z) order must not scramble
+                    # coordinates (ADVICE r3)
+                    col = {pr[1]: i for i, pr in enumerate(props)}
+                    for ax in ("x", "y", "z"):
+                        if ax not in col:
+                            raise ValueError(
+                                f"{path}: vertex element lacks '{ax}'")
                     vertices = np.asarray(
-                        [[float(r[i]) for i in xyz] for r in rows],
-                        dtype=np.float32)
+                        [[float(r[col[ax]]) for ax in ("x", "y", "z")]
+                         for r in rows], dtype=np.float32)
                 elif name == "face":
                     for r in rows:
                         n = int(r[0])
                         faces.append([int(v) for v in r[1:1 + n]])
             else:
-                if name == "vertex" and all(p[0] == "scalar"
-                                            for p in props):
+                if name == "vertex":
+                    if not all(p[0] == "scalar" for p in props):
+                        raise ValueError(
+                            f"{path}: PLY vertex element with a list "
+                            "property is unsupported")
                     dt = np.dtype([(p[1], endian + _T[p[2]])
                                    for p in props])
                     data = np.frombuffer(f.read(dt.itemsize * count), dt)
@@ -199,9 +213,16 @@ def load_ply(path: str) -> SceneData:
                         faces.append(np.frombuffer(
                             f.read(idt.itemsize * n), idt).tolist())
                 else:
-                    # skip unneeded fixed-size elements
+                    # skip unneeded elements — but only when their size
+                    # is knowable: a list property would desynchronize
+                    # the stream and silently corrupt later elements
+                    # (ADVICE r3)
+                    if any(p[0] == "list" for p in props):
+                        raise ValueError(
+                            f"{path}: cannot skip PLY element "
+                            f"'{name}' containing a list property")
                     size = sum(np.dtype(endian + _T[p[2]]).itemsize
-                               for p in props if p[0] == "scalar")
+                               for p in props)
                     f.read(size * count)
 
     if vertices is None:

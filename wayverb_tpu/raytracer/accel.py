@@ -210,8 +210,13 @@ def auto_accel(soup: TriangleSoup):
     exact, fuses well, and beats any structure below ~100 triangles.  On
     TPU large scenes use the VMEM-tiled Möller–Trumbore Pallas kernel
     (mt_pallas.py — ~8x the dense broadcast, ~45x the gather-bound DDA at
-    5k triangles); off-TPU the voxel DDA wins (gathers are cheap on CPU,
-    and the DDA does asymptotically less work).
+    5k triangles); above mt_pallas.CULL_MIN_TRIS the builder adds the
+    Morton-tile AABB culling stage (ray sort + per-tile slab gate), which
+    keeps the cost sub-linear in T at reference-class (1e5-triangle)
+    scenes instead of the brute-force O(R·T) (ADVICE r3: the flat kernel's
+    measured advantage was only validated to ~5k triangles).  Off-TPU the
+    voxel DDA wins (gathers are cheap on CPU, and the DDA does
+    asymptotically less work).
     """
     if soup.num_triangles <= 100:
         return None

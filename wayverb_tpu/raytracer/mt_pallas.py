@@ -38,39 +38,113 @@ TB = 512              # triangles per tile
 BIG = 3.4e38
 
 
+CULL_MIN_TRIS = 2048   # below this the all-pairs kernel wins outright
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PallasTriangles:
     """Packed triangle data for the MT kernel: (9, Tpad) f32 rows =
     (v0 | e1 | e2) components, T on lanes; padded rows are degenerate
-    (all-zero ⇒ det 0 ⇒ miss)."""
+    (all-zero ⇒ det 0 ⇒ miss).
+
+    For scenes above CULL_MIN_TRIS the builder Morton-sorts triangles by
+    centroid so each TB-tile is a compact spatial blob, and ships per-tile
+    AABBs plus the sort permutation — the kernel then slab-tests each
+    ray tile against the tile box and skips the 60-op MT math for tiles
+    no ray can touch (the TPU-shaped replacement for the reference's
+    per-ray voxel walk, ``src/core/src/cl/voxel.cpp:197-258``, whose
+    serial gathers vectorize poorly)."""
 
     packed: Any          # (9, Tpad) f32
     num: int             # true triangle count (static)
+    tile_boxes: Any = None   # (nT, 8) f32 [lo xyz, hi xyz, 0, 0]
+    perm: Any = None         # (Tpad,) int32 sorted → original id
+    inv_perm: Any = None     # (T,) int32 original → sorted id
+    scene_lo: Any = None     # (3,) f32 — ray sort-key frame
+    scene_inv_ext: Any = None   # (3,) f32
+
+    @property
+    def culled(self) -> bool:
+        return self.tile_boxes is not None
 
     def tree_flatten(self):
-        return (self.packed,), self.num
+        return (self.packed, self.tile_boxes, self.perm, self.inv_perm,
+                self.scene_lo, self.scene_inv_ext), self.num
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux)
+        return cls(children[0], aux, *children[1:])
 
 
-def build_pallas_triangles(soup: TriangleSoup) -> PallasTriangles:
+def _morton3(q):
+    """Interleave 10-bit xyz → 30-bit Morton codes ((N, 3) uint32 in)."""
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2))
+
+
+def build_pallas_triangles(soup: TriangleSoup,
+                           cull: bool = None) -> PallasTriangles:
     c = np.asarray(soup.corners(), dtype=np.float32)        # (T, 3, 3)
+    T = c.shape[0]
+    if cull is None:
+        cull = T > CULL_MIN_TRIS
+
+    perm = inv_perm = tile_boxes = scene_lo = scene_inv_ext = None
+    if cull:
+        lo = c.reshape(-1, 3).min(axis=0)
+        hi = c.reshape(-1, 3).max(axis=0)
+        ext = np.maximum(hi - lo, 1e-9)
+        cent = c.mean(axis=1)
+        q = np.clip(((cent - lo) / ext) * 1023.0, 0, 1023).astype(
+            np.uint32)
+        order = np.argsort(_morton3(q), kind="stable")
+        c = c[order]
+        scene_lo = jnp.asarray(lo)
+        scene_inv_ext = jnp.asarray((1.0 / ext).astype(np.float32))
+
     v0 = c[:, 0]
     e1 = c[:, 1] - v0
     e2 = c[:, 2] - v0
     packed = np.concatenate([v0.T, e1.T, e2.T], axis=0)     # (9, T)
-    T = packed.shape[1]
     Tpad = -(-T // TB) * TB
     packed = np.pad(packed, ((0, 0), (0, Tpad - T)))
-    return PallasTriangles(packed=jnp.asarray(packed), num=T)
+
+    if cull:
+        perm_np = np.full(Tpad, -1, np.int32)
+        perm_np[:T] = order.astype(np.int32)
+        inv = np.empty(T, np.int32)
+        inv[order] = np.arange(T, dtype=np.int32)
+        nT = Tpad // TB
+        boxes = np.zeros((nT, 8), np.float32)
+        cpad = np.pad(c, ((0, Tpad - T), (0, 0), (0, 0)),
+                      constant_values=np.nan)
+        for ti in range(nT):
+            blk = cpad[ti * TB:(ti + 1) * TB].reshape(-1, 3)
+            blk = blk[~np.isnan(blk[:, 0])]
+            if len(blk) == 0:
+                boxes[ti, :3] = 1.0     # empty tile: inverted box misses
+                boxes[ti, 3:6] = 0.0
+            else:
+                boxes[ti, :3] = blk.min(axis=0)
+                boxes[ti, 3:6] = blk.max(axis=0)
+        tile_boxes = jnp.asarray(boxes)
+        perm = jnp.asarray(perm_np)
+        inv_perm = jnp.asarray(inv)
+    return PallasTriangles(packed=jnp.asarray(packed), num=T,
+                           tile_boxes=tile_boxes, perm=perm,
+                           inv_perm=inv_perm, scene_lo=scene_lo,
+                           scene_inv_ext=scene_inv_ext)
 
 
-def _mt_kernel(o_ref, d_ref, ex_ref, tri_ref, t_ref, i_ref, *, nT, numT):
-    t_blk = pl.program_id(1)
-
+def _mt_math(o_ref, d_ref, ex_ref, tri_ref, t_ref, i_ref, t_blk, numT):
+    """The 60-op Moller-Trumbore tile body + running min-t update."""
     ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # (RB, 1)
     dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
     v0x, v0y, v0z = tri_ref[0:1], tri_ref[1:2], tri_ref[2:3]   # (1, TB)
@@ -104,14 +178,53 @@ def _mt_kernel(o_ref, d_ref, ex_ref, tri_ref, t_ref, i_ref, *, nT, numT):
     t_best = jnp.min(t_masked, axis=1, keepdims=True)
     i_best = (t_blk * TB + k).astype(jnp.int32)
 
+    better = t_best < t_ref[...]
+    t_ref[...] = jnp.where(better, t_best, t_ref[...])
+    i_ref[...] = jnp.where(better, i_best, i_ref[...])
+
+
+def _mt_kernel(o_ref, d_ref, ex_ref, tri_ref, t_ref, i_ref, *, nT, numT):
+    t_blk = pl.program_id(1)
+
     @pl.when(t_blk == 0)
     def _():
         t_ref[...] = jnp.full(t_ref.shape, BIG, t_ref.dtype)
         i_ref[...] = jnp.zeros(i_ref.shape, i_ref.dtype)
 
-    better = t_best < t_ref[...]
-    t_ref[...] = jnp.where(better, t_best, t_ref[...])
-    i_ref[...] = jnp.where(better, i_best, i_ref[...])
+    _mt_math(o_ref, d_ref, ex_ref, tri_ref, t_ref, i_ref, t_blk, numT)
+
+
+def _mt_kernel_culled(o_ref, d_ref, ex_ref, tri_ref, box_ref, t_ref,
+                      i_ref, *, nT, numT):
+    """MT tile with a per-tile AABB gate: triangles are Morton-sorted so
+    each TB-tile is a spatial blob; a ~25-op slab test per ray decides
+    whether ANY ray in this (sorted, hence coherent) ray tile can hit the
+    tile box closer than its current best — if not, the 60-op MT math for
+    RB x TB pairs is skipped entirely."""
+    t_blk = pl.program_id(1)
+
+    @pl.when(t_blk == 0)
+    def _():
+        t_ref[...] = jnp.full(t_ref.shape, BIG, t_ref.dtype)
+        i_ref[...] = jnp.zeros(i_ref.shape, i_ref.dtype)
+
+    o = o_ref[...]                                             # (RB, 3)
+    d = d_ref[...]
+    safe = jnp.where(jnp.abs(d) < 1e-20,
+                     jnp.where(d >= 0, 1e-20, -1e-20), d)
+    rd = 1.0 / safe
+    lo = box_ref[0, 0:3][None, :]                              # (1, 3)
+    hi = box_ref[0, 3:6][None, :]
+    t0 = (lo - o) * rd
+    t1 = (hi - o) * rd
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=1, keepdims=True)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=1, keepdims=True)
+    possible = (tnear <= tfar) & (tfar > 0.0) & (tnear < t_ref[...])
+
+    @pl.when(jnp.any(possible))
+    def _():
+        _mt_math(o_ref, d_ref, ex_ref, tri_ref, t_ref, i_ref, t_blk,
+                 numT)
 
 
 def _pallas_closest(origin, direction, exclude, tris: PallasTriangles,
@@ -125,31 +238,54 @@ def _pallas_closest(origin, direction, exclude, tris: PallasTriangles,
     Tpad = tris.packed.shape[1]
     nR, nT = Rpad // RB, Tpad // TB
 
+    rblk = lambda w: pl.BlockSpec((RB, w), lambda r, t: (r, 0),  # noqa
+                                  memory_space=pltpu.VMEM)
+    in_specs = [rblk(3), rblk(3), rblk(1),
+                pl.BlockSpec((9, TB), lambda r, t: (0, t),
+                             memory_space=pltpu.VMEM)]
+    args = [origin, direction, exclude[:, None].astype(jnp.int32),
+            tris.packed]
+    kernel = _mt_kernel
+    if tris.culled:
+        kernel = _mt_kernel_culled
+        in_specs.append(pl.BlockSpec((1, 8), lambda r, t: (t, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(tris.tile_boxes)
+
     out = pl.pallas_call(
-        functools.partial(_mt_kernel, nT=nT, numT=tris.num),
+        functools.partial(kernel, nT=nT, numT=tris.num),
         grid=(nR, nT),
-        in_specs=[
-            pl.BlockSpec((RB, 3), lambda r, t: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 3), lambda r, t: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda r, t: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, TB), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((RB, 1), lambda r, t: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda r, t: (r, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=(rblk(1), rblk(1)),
         out_shape=(jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Rpad, 1), jnp.int32)),
         interpret=interpret,
-    )(origin, direction, exclude[:, None].astype(jnp.int32), tris.packed)
+    )(*args)
     t, idx = out[0][:R, 0], out[1][:R, 0]
     return t, idx
+
+
+def _ray_sort_keys(origin, direction, tris: PallasTriangles):
+    """Spatial+directional sort key: 3-bit direction octant above a
+    15-bit (5/axis) origin Morton code — rays in one RB tile then share
+    an origin blob and an octant, which is what makes the per-tile AABB
+    gate in _mt_kernel_culled actually skip."""
+    q = jnp.clip((origin - tris.scene_lo[None, :])
+                 * tris.scene_inv_ext[None, :] * 31.0, 0.0,
+                 31.0).astype(jnp.int32)
+
+    def spread5(x):
+        x = (x | (x << 8)) & 0x0100F
+        x = (x | (x << 4)) & 0x010C3
+        x = (x | (x << 2)) & 0x09249
+        return x
+
+    morton = spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) \
+        | (spread5(q[:, 2]) << 2)
+    octant = ((direction[:, 0] >= 0).astype(jnp.int32)
+              | ((direction[:, 1] >= 0).astype(jnp.int32) << 1)
+              | ((direction[:, 2] >= 0).astype(jnp.int32) << 2))
+    return (octant << 15) | morton
 
 
 def _jnp_closest(origin, direction, exclude, tris: PallasTriangles):
@@ -187,11 +323,26 @@ def mt_intersection(origin, direction, tris: PallasTriangles,
     R = origin.shape[0]
     if exclude_triangle is None:
         exclude_triangle = jnp.full((R,), -1, dtype=jnp.int32)
+    if tris.culled:
+        # exclude/result ids are ORIGINAL triangle ids; the kernel works
+        # in Morton-sorted ids
+        exclude_triangle = jnp.where(
+            exclude_triangle >= 0,
+            tris.inv_perm[jnp.clip(exclude_triangle, 0, tris.num - 1)],
+            -1)
+        order = jnp.argsort(_ray_sort_keys(origin, direction, tris))
+        origin = origin[order]
+        direction = direction[order]
+        exclude_triangle = exclude_triangle[order]
     if use_pallas() or interpret:
         t, idx = _pallas_closest(origin, direction, exclude_triangle, tris,
                                  interpret=interpret)
     else:
         t, idx = _jnp_closest(origin, direction, exclude_triangle, tris)
+    if tris.culled:
+        t = jnp.zeros_like(t).at[order].set(t)
+        idx = jnp.zeros_like(idx).at[order].set(idx)
+        idx = tris.perm[jnp.clip(idx, 0, tris.perm.shape[0] - 1)]
     hit = t < BIG
     return jnp.where(hit, t, jnp.inf), idx, hit
 
