@@ -106,27 +106,46 @@ def bench_waveguide_forward(platform):
     receiver = NodeReceiver(
         node_idx=jnp.asarray(desc.flat_index(rcv_loc), dtype=jnp.int32))
 
-    body = make_box_body(mesh.structure, mesh.box_spec, source, receiver)
-    init = initial_box_carry(mesh.structure, mesh.box_spec, receiver)
+    from wayverb_tpu.waveguide.box_mega import (mega_supported,
+                                                run_waveguide_box_mega)
+    use_mega = mega_supported(mesh.box_spec, source, receiver)
+    if use_mega:
+        # r4 flagship: VMEM-resident multi-step mega-kernel (the whole
+        # field ping-pong + boundary state live in VMEM for 64 steps per
+        # pallas_call; HBM traffic ~4 fields per chunk)
+        def forward():
+            out = run_waveguide_box_mega(
+                mesh.structure, mesh.box_spec, source, receiver, steps,
+                chunk=64)
+            return float(jnp.sum(out["outputs"]))
+    else:
+        body = make_box_body(mesh.structure, mesh.box_spec, source,
+                             receiver)
+        init = initial_box_carry(mesh.structure, mesh.box_spec, receiver)
 
-    @jax.jit
-    def forward():
-        # unroll=4 lets XLA alias the (next, current) ping-pong buffers
-        # across steps instead of copying the field (fwd_variants.py:
-        # 420 → 364 µs/step on v5e)
-        carry, outputs = jax.lax.scan(body, init, jnp.arange(steps),
-                                      unroll=4)
-        return outputs[-1] + 0.0 * carry[0][8, 8, 8]
+        @jax.jit
+        def fwd():
+            carry, outputs = jax.lax.scan(body, init, jnp.arange(steps),
+                                          unroll=4)
+            return outputs[-1] + 0.0 * carry[0][8, 8, 8]
+
+        forward = lambda: float(fwd())  # noqa: E731
 
     dt, _ = _time_scalar_fn(forward)
     ctx = dict(mesh=mesh, source=source, receiver=receiver,
-               num_nodes=num_nodes, steps=steps)
+               num_nodes=num_nodes, steps=steps, mega=use_mega)
     return num_nodes * steps / dt, ctx
 
 
 def bench_waveguide_backward(platform, ctx):
-    """value_and_grad w.r.t. material filter coefficients through a
-    checkpointed scan (BASELINE: backward stencil throughput)."""
+    """value_and_grad w.r.t. material filter coefficients (BASELINE:
+    backward stencil throughput).
+
+    On the mega path the adjoint is the hand-built chunk-level VJP: the
+    backward wave recursion is another VMEM-resident leapfrog (the wave
+    operator is self-adjoint), so a full forward+backward costs ~2 kernel
+    passes per step — no forward rematerialization at all.  The CPU /
+    fallback path keeps the r3 checkpointed scan."""
     import dataclasses as dc
 
     import jax
@@ -137,6 +156,29 @@ def bench_waveguide_backward(platform, ctx):
 
     mesh, receiver = ctx["mesh"], ctx["receiver"]
     steps = ctx["steps"]
+    if ctx.get("mega"):
+        import numpy as _np
+        from wayverb_tpu.waveguide.box_mega import mega_canonical_loss_fn
+        # residuals stream to HBM at ~5.5 MB/step: 768 steps ≈ 4.2 GB
+        bwd_steps = 768
+        grad_src = HardSource(node_idx=ctx["source"].node_idx,
+                              signal=impulse_signal(bwd_steps, 1.0))
+        f = mega_canonical_loss_fn(mesh.structure, mesh.box_spec,
+                                   grad_src, receiver, bwd_steps,
+                                   chunk=64)
+        face_idx = _np.asarray(mesh.box_spec.face_surface)
+
+        def loss(coef_b):
+            taps, _ = f(coef_b[face_idx],
+                        jnp.asarray(mesh.structure.coef_a)[face_idx],
+                        grad_src.signal)
+            return jnp.sum(taps ** 2)
+
+        gfn = jax.jit(lambda cb: jnp.sum(jax.grad(loss)(cb)))
+        dt_b, _ = _time_scalar_fn(lambda: float(gfn(
+            mesh.structure.coef_b)), reps=2)
+        return ctx["num_nodes"] * bwd_steps / dt_b
+
     bwd_steps = steps // 4 if platform != "cpu" else steps
     grad_src = HardSource(
         node_idx=ctx["source"].node_idx,

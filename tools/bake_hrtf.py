@@ -33,15 +33,27 @@ def bake(hrir_dir: str, out: str, az_bins: int = 24, el_bins: int = 9,
     table = np.zeros((az_bins, el_bins, 2, 8))
     counts = np.zeros((az_bins, el_bins))
 
+    listen_re = re.compile(r".*R([0-9]+)_T([0-9]+)_P([0-9]+).*")
     for name in sorted(os.listdir(hrir_dir)):
         if not name.lower().endswith(".wav"):
             continue
-        nums = re.findall(r"-?\d+", name)
-        if len(nums) < 2:
-            if verbose:
-                print(f"skipping {name}: no az/el in filename")
-            continue
-        az_deg, el_deg = float(nums[0]), float(nums[1])
+        m = listen_re.match(name)
+        if m:
+            # IRCAM Listen naming (the set the reference bakes,
+            # src/core/src/attenuator/hrtf.cpp:68-85): R radius (cm,
+            # unused), T azimuth deg, P elevation deg with negative
+            # elevations wrapped above 180 (P315 = −45°)
+            az_deg = float(m.group(2))
+            el_deg = float(m.group(3))
+            if el_deg > 180.0:
+                el_deg -= 360.0
+        else:
+            nums = re.findall(r"-?\d+", name)
+            if len(nums) < 2:
+                if verbose:
+                    print(f"skipping {name}: no az/el in filename")
+                continue
+            az_deg, el_deg = float(nums[0]), float(nums[1])
         data, sr = read_wav(os.path.join(hrir_dir, name))
         if data.shape[0] < 2:
             data = np.vstack([data, data])

@@ -181,14 +181,18 @@ def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
                 q = PLANES.index((edge_axis, s2))
                 qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
                 qa = _other_axes(edge_axis)
-                raw = (st6[q][0, pc, :] if a == qa[0]
-                       else st6[q][0, :, pc])
+                # keep the coupling lines 2-D ((1, V) / (U, 1)) — 1-D
+                # vectors force Mosaic relayouts and blow up compile
+                line = (st6[q][0, pc:pc + 1, :] if a == qa[0]
+                        else st6[q][0, :, pc:pc + 1])
                 if on_rows:
                     mask = (u == qc).astype(pl_p.dtype)
-                    line = raw[None, :]
+                    if line.shape[0] != 1:
+                        line = line.T
                 else:
                     mask = (v == qc).astype(pl_p.dtype)
-                    line = raw[:, None]
+                    if line.shape[1] != 1:
+                        line = line.T
                 fw = fw + mask * (line / b0[q])
                 cw = cw + mask * (a0[q] / b0[q])
         cw = COURANT * cw
@@ -248,9 +252,14 @@ class _MegaKernel:
         return tuple(pl6), tuple(in6), tuple(prev6)
 
     def _read_st(self, STS):
-        return tuple(STS[:, pi, :U, :V]
-                     for pi, (U, V) in enumerate(
-                         self.spec.plane_shape(p) for p in range(6)))
+        # per-slot 2-D reads + an axis-0 stack: a rank-4 ref slice through
+        # two sliced dims (STS[:, pi, :U, :V]) sends the Mosaic compiler
+        # into the weeds (>45 min at any size; the per-slot form compiles
+        # in ~1 min)
+        return tuple(
+            jnp.stack([STS[j, pi, :U, :V] for j in range(self.order)])
+            for pi, (U, V) in enumerate(
+                self.spec.plane_shape(p) for p in range(6)))
 
     # -- one leapfrog sub-step ------------------------------------------
     def _substep(self, A, B, STS, PPL, fb, fa, src, sig_t, tapx, taps_out,
@@ -300,7 +309,8 @@ class _MegaKernel:
                                            fbv, fav)
         for pi in range(6):
             U, V = spec.plane_shape(pi)
-            STS[:, pi, :U, :V] = newst6[pi]
+            for j in range(self.order):
+                STS[j, pi, :U, :V] = newst6[pi][j]
 
         bad = jnp.float32(0.0)
         for pi in range(6):
@@ -519,8 +529,10 @@ class _MegaBwdKernel:
             st_hat.append(jnp.concatenate(
                 [m0[None], jnp.zeros((self.order - 1, U, V), m0.dtype)],
                 axis=0))
-        gst_in = tuple(GSTS[:, pi, :U, :V] for pi, (U, V) in enumerate(
-            spec.plane_shape(p) for p in range(6)))
+        gst_in = tuple(
+            jnp.stack([GSTS[j, pi, :U, :V] for j in range(self.order)])
+            for pi, (U, V) in enumerate(
+                spec.plane_shape(p) for p in range(6)))
 
         _, pullback = jax.vjp(
             functools.partial(plane_step_natural, spec),
@@ -531,7 +543,8 @@ class _MegaBwdKernel:
         gfa = gfa + gfa_c
         for pi in range(6):
             U, V = spec.plane_shape(pi)
-            GSTS[:, pi, :U, :V] = gst6[pi]
+            for j in range(self.order):
+                GSTS[j, pi, :U, :V] = gst6[pi][j]
 
         # 4. scatter ĝpl/ĝin into Q̂ (contributions to ĝF_t at plane and
         # inner coords; overlapping lines accumulate)
@@ -839,13 +852,15 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
 
 @functools.lru_cache(maxsize=16)
 def _jitted_runner(spec: BoxSpec, chunk: int, k: int, order: int,
-                   nchunks: int, interpret: bool):
+                   nchunks: int, num_steps: int, interpret: bool):
     core = _diff_core(spec, chunk, k, order, nchunks, interpret)
 
     @jax.jit
-    def run(src_info, tap_xyz, sig, face_b, face_a):
+    def run(src_info, tap_xyz, sig, face_b, face_a, receiver):
         taps, stable = core(face_b, face_a, sig, src_info, tap_xyz)
-        return taps.reshape(nchunks * chunk, k), stable
+        taps = taps.reshape(nchunks * chunk, k)[:num_steps]
+        outputs = replay_taps(receiver, taps)
+        return outputs, stable
 
     return run
 
@@ -883,9 +898,10 @@ def run_waveguide_box_mega(structure, spec: BoxSpec, source, receiver,
     tap_xyz = jnp.asarray(np.stack(np.unravel_index(tap_nodes, dims),
                                    axis=-1).astype(np.int32))
 
-    run = _jitted_runner(spec, chunk, k, order, nchunks, interpret)
-    taps, stable = run(src_info, tap_xyz, sig, face_b, face_a)
-    outputs = replay_taps(receiver, taps[:num_steps], dtype)
+    run = _jitted_runner(spec, chunk, k, order, nchunks, num_steps,
+                         interpret)
+    outputs, stable = run(src_info, tap_xyz, sig, face_b, face_a,
+                          receiver)
     return {"outputs": outputs, "stable": stable}
 
 
