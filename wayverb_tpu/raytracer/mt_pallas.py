@@ -38,7 +38,7 @@ TB = 512              # triangles per tile
 BIG = 3.4e38
 
 
-CULL_MIN_TRIS = 2048   # below this the all-pairs kernel wins outright
+CULL_MIN_TRIS = 8192   # below this the all-pairs kernel wins outright
 
 
 @jax.tree_util.register_pytree_node_class

@@ -119,6 +119,10 @@ def _iota(shape, dim):
 # boundary-plane step: ONE pure-jnp implementation shared by the forward
 # kernel, the backward kernel (via in-kernel jax.vjp) and tests
 
+import os as _os
+_MEGA_DEBUG = _os.environ.get("WAYVERB_MEGA_DEBUG", "")
+
+
 def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
                        kernel: bool = True):
     """The six boundary-plane updates on natural-shape arrays.
@@ -176,7 +180,9 @@ def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
         # edge/corner coupling: nodes on this plane's in-plane box edges
         # also belong to the neighbouring plane(s); the ghost closure sums
         # each member plane's filter contribution
-        for edge_axis, on_rows in ((a1, True), (a2, False)):
+        for edge_axis, on_rows in (
+                () if "nocouple" in _MEGA_DEBUG
+                else ((a1, True), (a2, False))):
             for s2 in (0, 1):
                 q = PLANES.index((edge_axis, s2))
                 qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
@@ -205,6 +211,9 @@ def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
 
         slots = []
         for j in range(order):
+            if "nodf2t" in _MEGA_DEBUG:
+                slots.append(st6[pi][j])
+                continue
             nxt = (st6[pi][j + 1] if j + 1 < order
                    else jnp.zeros((U, V), filt_in.dtype))
             slots.append(nxt + fb[pi, j + 1] * filt_in
@@ -225,12 +234,19 @@ class _MegaKernel:
     """
 
     def __init__(self, spec: BoxSpec, K: int, k: int, order: int,
-                 grad: bool = False):
+                 src, taps, grad: bool = False):
         if K % 2:
             raise ValueError("chunk length K must be even")
         if k < 1:
             raise ValueError("receiver must tap at least one node")
         self.spec, self.K, self.k, self.order = spec, K, k, order
+        # source (x, y, z, mode) and receiver tap (x, y, z) coordinates
+        # are STATIC python ints: dynamic per-element indexing of the big
+        # resident refs costs ~50 us per op in Mosaic (it dominated the
+        # first bench at ~400 us/step); static rows are free.  Moving a
+        # source/receiver recompiles (cached per placement).
+        self.src = tuple(int(v) for v in src)
+        self.taps = tuple(tuple(int(v) for v in t) for t in taps)
         self.grad = grad
         X, Y, Z = spec.dims
         if X % XT or Y % 8 or Z % 128:
@@ -261,8 +277,42 @@ class _MegaKernel:
             for pi, (U, V) in enumerate(
                 self.spec.plane_shape(p) for p in range(6)))
 
+    def _substep_bare(self, A, B):
+        """Debug-only: interior stencil without any boundary machinery."""
+        spec = self.spec
+        X, Y, Z = spec.dims
+        nb = X // XT
+        ilo, ihi = spec.ilo, spec.ihi
+        iy = _iota((1, Y, 1), 1)
+        iz = _iota((1, 1, Z), 2)
+        yz_m = ((iy >= ilo[1]) & (iy <= ihi[1]) &
+                (iz >= ilo[2]) & (iz <= ihi[2]))
+
+        def slab(j, _):
+            r = pl.multiple_of(j * XT, XT)
+            c = A[pl.ds(r, XT)]
+            up_row = jnp.where(j == 0, jnp.zeros((1, Y, Z), c.dtype),
+                               A[pl.ds(jnp.maximum(r - 1, 0), 1)])
+            dn_row = jnp.where(j == nb - 1, jnp.zeros((1, Y, Z), c.dtype),
+                               A[pl.ds(jnp.minimum(r + XT, X - 1), 1)])
+            acc = jnp.concatenate([up_row, c[:-1]], axis=0) \
+                + jnp.concatenate([c[1:], dn_row], axis=0)
+            zy = jnp.zeros_like(c[:, :1])
+            acc = acc + jnp.concatenate([zy, c[:, :-1]], axis=1)
+            acc = acc + jnp.concatenate([c[:, 1:], zy], axis=1)
+            zz = jnp.zeros_like(c[:, :, :1])
+            acc = acc + jnp.concatenate([zz, c[:, :, :-1]], axis=2)
+            acc = acc + jnp.concatenate([c[:, :, 1:], zz], axis=2)
+            gxr = r + _iota((XT, 1, 1), 0)
+            m = (gxr >= ilo[0]) & (gxr <= ihi[0]) & yz_m
+            B[pl.ds(r, XT)] = jnp.where(
+                m, COURANT_SQ * acc - B[pl.ds(r, XT)], 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, nb, slab, 0)
+
     # -- one leapfrog sub-step ------------------------------------------
-    def _substep(self, A, B, STS, PPL, fb, fa, src, sig_t, tapx, taps_out,
+    def _substep(self, A, B, STS, PPL, fb, fa, sig_t, taps_out,
                  t, res_stage, res_hbm, res_sem):
         """B <- next field (in place over previous); writes the tap row
         and returns this sub-step's badness contribution."""
@@ -273,22 +323,26 @@ class _MegaKernel:
         blo = tuple(v - 1 for v in ilo)
         bhi = tuple(v + 1 for v in ihi)
 
-        # source injection into the resident current buffer (row patch)
-        sx, sy, sz, mode = src[0], src[1], src[2], src[3]
+        # source injection into the resident current buffer (static row)
+        sx, sy, sz, mode = self.src
         lane = _iota((1, 1, Z), 2)
-        row = A[pl.ds(sx, 1), pl.ds(sy, 1), :]
-        patched = jnp.where(mode == 1, sig_t, row + sig_t)
-        A[pl.ds(sx, 1), pl.ds(sy, 1), :] = jnp.where(
-            (lane == sz) & (mode > 0), patched, row)
+        if mode > 0:
+            row = A[sx:sx + 1, sy:sy + 1, :]
+            patched = sig_t if mode == 1 else row + sig_t
+            A[sx:sx + 1, sy:sy + 1, :] = jnp.where(lane == sz, patched,
+                                                   row)
 
         # receiver taps (post-injection, matching run.py semantics)
         tvals = []
-        for j in range(self.k):
-            trow = A[pl.ds(tapx[j, 0], 1), pl.ds(tapx[j, 1], 1), :]
-            tvals.append(jnp.sum(jnp.where(lane == tapx[j, 2], trow, 0.0)))
+        for (tx, ty, tz) in self.taps:
+            trow = A[tx:tx + 1, ty:ty + 1, :]
+            tvals.append(jnp.sum(jnp.where(lane == tz, trow, 0.0)))
         taps_out[pl.ds(t, 1), :] = jnp.stack(tvals)[None, :]
 
         # boundary planes (before the stencil consumes/overwrites B)
+        if "noplane" in _MEGA_DEBUG:
+            self._substep_bare(A, B)
+            return jnp.float32(0.0)
         fbv, fav = fb[...], fa[...]
         pl6, in6, prev6 = self._plane_slices(A, B)
         st6 = self._read_st(STS)
@@ -377,7 +431,7 @@ class _MegaKernel:
         return bad
 
     # -- kernel body -----------------------------------------------------
-    def kernel(self, src_ref, tap_ref, sig_ref, fb_ref, fa_ref,
+    def kernel(self, sig_ref, fb_ref, fa_ref,
                cur_hbm, prev_hbm, st_hbm, *rest):
         if self.grad:
             (cur_out, prev_out, st_out, taps_out, bad_out, res_hbm,
@@ -401,12 +455,11 @@ class _MegaKernel:
         def two(i, bad):
             t0 = 2 * i
             bad = bad + self._substep(A, B, STS, PPL, fb_ref, fa_ref,
-                                      src_ref, sig_ref[t0], tap_ref,
-                                      taps_out, t0, RSTG, res_hbm, res_sem)
+                                      sig_ref[t0], taps_out, t0, RSTG,
+                                      res_hbm, res_sem)
             bad = bad + self._substep(B, A, STS, PPL, fb_ref, fa_ref,
-                                      src_ref, sig_ref[t0 + 1], tap_ref,
-                                      taps_out, t0 + 1, RSTG, res_hbm,
-                                      res_sem)
+                                      sig_ref[t0 + 1], taps_out, t0 + 1,
+                                      RSTG, res_hbm, res_sem)
             return bad
 
         bad = jax.lax.fori_loop(0, self.K // 2, two, jnp.float32(0.0))
@@ -446,12 +499,14 @@ class _MegaBwdKernel:
     adjoint needs no forward values at all (linearity).
     """
 
-    def __init__(self, spec: BoxSpec, K: int, k: int, order: int):
-        self.fwd = _MegaKernel(spec, K, k, order)
+    def __init__(self, spec: BoxSpec, K: int, k: int, order: int,
+                 src, taps):
         self.spec, self.K, self.k, self.order = spec, K, k, order
+        self.src = tuple(int(v) for v in src)
+        self.taps = tuple(tuple(int(v) for v in t) for t in taps)
         self.Umax, self.Vmax = stacked_plane_shape(spec)
 
-    def _substep(self, P, Q, GSTS, fbv, fav, src, tapx, gtaps, gsig_out,
+    def _substep(self, P, Q, GSTS, fbv, fav, gtaps, gsig_out,
                  t, res_hbm, RSTG, res_sem, gth):
         spec = self.spec
         X, Y, Z = spec.dims
@@ -562,12 +617,12 @@ class _MegaBwdKernel:
             add_plane(Q, a, pc, gpl6[pi])
             add_plane(Q, a, pci, gin6[pi])
 
-        # 5. receiver-tap cotangents into Q̂
+        # 5. receiver-tap cotangents into Q̂ (static rows)
         lane = _iota((1, 1, Z), 2)
-        for j in range(self.k):
-            trow = Q[pl.ds(tapx[j, 0], 1), pl.ds(tapx[j, 1], 1), :]
-            Q[pl.ds(tapx[j, 0], 1), pl.ds(tapx[j, 1], 1), :] = \
-                trow + jnp.where(lane == tapx[j, 2], gtaps[t, j], 0.0)
+        for j, (tx, ty, tz) in enumerate(self.taps):
+            trow = Q[tx:tx + 1, ty:ty + 1, :]
+            Q[tx:tx + 1, ty:ty + 1, :] = \
+                trow + jnp.where(lane == tz, gtaps[t, j], 0.0)
 
         # 6. P̂ ← −(M ⊙ P̂) in place (second pass so step 1's neighbour
         # reads saw the untouched buffer), then ĝprev at plane coords
@@ -583,16 +638,16 @@ class _MegaBwdKernel:
             add_plane(P, a, pc, gprev6[pi])
 
         # 7. source-signal cotangent; hard source blocks flow through F̃
-        sx, sy, sz, mode = src[0], src[1], src[2], src[3]
-        srow = Q[pl.ds(sx, 1), pl.ds(sy, 1), :]
+        sx, sy, sz, mode = self.src
+        srow = Q[sx:sx + 1, sy:sy + 1, :]
         gsig = jnp.sum(jnp.where(lane == sz, srow, 0.0)) * \
-            (mode > 0).astype(srow.dtype)
+            (1.0 if mode > 0 else 0.0)
         gsig_out[pl.ds(t, 1), :] = gsig[None, None]
-        Q[pl.ds(sx, 1), pl.ds(sy, 1), :] = jnp.where(
-            (lane == sz) & (mode == 1), 0.0, srow)
+        if mode == 1:
+            Q[sx:sx + 1, sy:sy + 1, :] = jnp.where(lane == sz, 0.0, srow)
         return (gfb, gfa)
 
-    def kernel(self, src_ref, tap_ref, fb_ref, fa_ref,
+    def kernel(self, fb_ref, fa_ref,
                gtaps_ref, res_hbm, gnext_hbm, gcur_hbm, gst_hbm,
                gnext_out, gcur_out, gst_out, gfb_out, gfa_out, gsig_out,
                P, Q, GSTS, RSTG, sems):
@@ -610,10 +665,10 @@ class _MegaBwdKernel:
 
         def two(i, gth):
             t1 = self.K - 1 - 2 * i
-            gth = self._substep(P, Q, GSTS, fbv, fav, src_ref, tap_ref,
+            gth = self._substep(P, Q, GSTS, fbv, fav,
                                 gtaps_ref, gsig_out, t1, res_hbm, RSTG,
                                 sems.at[3], gth)
-            gth = self._substep(Q, P, GSTS, fbv, fav, src_ref, tap_ref,
+            gth = self._substep(Q, P, GSTS, fbv, fav,
                                 gtaps_ref, gsig_out, t1 - 1, res_hbm,
                                 RSTG, sems.at[3], gth)
             return gth
@@ -641,9 +696,9 @@ def _f32(*shape):
     return jax.ShapeDtypeStruct(shape, jnp.float32)
 
 
-def _build_call(spec: BoxSpec, K: int, k: int, order: int,
+def _build_call(spec: BoxSpec, K: int, k: int, order: int, src, taps,
                 grad: bool = False, interpret: bool = False):
-    mk = _MegaKernel(spec, K, k, order, grad=grad)
+    mk = _MegaKernel(spec, K, k, order, src, taps, grad=grad)
     X, Y, Z = spec.dims
     Umax, Vmax = mk.Umax, mk.Vmax
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)      # noqa: E731
@@ -665,21 +720,21 @@ def _build_call(spec: BoxSpec, K: int, k: int, order: int,
     scratch.append(pltpu.SemaphoreType.DMA((4,)))
     return pl.pallas_call(
         mk.kernel,
-        in_specs=[smem(), smem(), smem(), vmem(), vmem(),
+        in_specs=[smem(), vmem(), vmem(),
                   anym(), anym(), anym()],
         out_shape=tuple(out_shape),
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        input_output_aliases={3: 0, 4: 1, 5: 2},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
 
 
-def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int,
-                    interpret: bool = False):
-    mk = _MegaBwdKernel(spec, K, k, order)
+def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int, src,
+                    taps, interpret: bool = False):
+    mk = _MegaBwdKernel(spec, K, k, order, src, taps)
     X, Y, Z = spec.dims
     Umax, Vmax = mk.Umax, mk.Vmax
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)      # noqa: E731
@@ -687,7 +742,7 @@ def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)      # noqa: E731
     return pl.pallas_call(
         mk.kernel,
-        in_specs=[smem(), smem(), vmem(), vmem(), vmem(),
+        in_specs=[vmem(), vmem(), vmem(),
                   anym(), anym(), anym(), anym()],
         out_shape=(
             _f32(X, Y, Z), _f32(X, Y, Z),
@@ -702,7 +757,7 @@ def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int,
             pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases={4: 0, 5: 1, 6: 2},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
@@ -781,13 +836,16 @@ def replay_taps(receiver, taps, dtype=jnp.float32):
 
 @functools.lru_cache(maxsize=16)
 def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
-               nchunks: int, interpret: bool):
-    """(taps, stable) = core(face_b, face_a, sig, src_info, tap_xyz) with
-    a chunk-level custom VJP (gradients w.r.t. face_b/face_a/sig)."""
-    fcall = _build_call(spec, chunk, k, order, interpret=interpret)
-    gcall = _build_call(spec, chunk, k, order, grad=True,
+               nchunks: int, src, taps, interpret: bool):
+    """(taps, stable) = core(face_b, face_a, sig) with a chunk-level
+    custom VJP (gradients w.r.t. face_b/face_a/sig).  ``src``/``taps``:
+    static source (x, y, z, mode) / receiver tap coordinates."""
+    fcall = _build_call(spec, chunk, k, order, src, taps,
                         interpret=interpret)
-    bcall = _build_bwd_call(spec, chunk, k, order, interpret=interpret)
+    gcall = _build_call(spec, chunk, k, order, src, taps, grad=True,
+                        interpret=interpret)
+    bcall = _build_bwd_call(spec, chunk, k, order, src, taps,
+                            interpret=interpret)
     dims = spec.dims
     Umax, Vmax = stacked_plane_shape(spec)
 
@@ -796,14 +854,14 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
                 jnp.zeros((order, 6, Umax, Vmax), jnp.float32))
 
     @jax.custom_vjp
-    def core(face_b, face_a, sig, src_info, tap_xyz):
+    def core(face_b, face_a, sig):
         cur, prev, st = init_state()
 
         def body(carry, c):
             cur, prev, st, bad = carry
             s = jax.lax.dynamic_slice_in_dim(sig, c * chunk, chunk)
-            cur, prev, st, taps, b = fcall(src_info, tap_xyz, s,
-                                           face_b, face_a, cur, prev, st)
+            cur, prev, st, taps, b = fcall(s, face_b, face_a, cur, prev,
+                                           st)
             return (cur, prev, st, bad + b[0, 0]), taps
 
         (cur, prev, st, bad), taps = jax.lax.scan(
@@ -811,29 +869,27 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
         stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
         return taps, stable
 
-    def core_fwd(face_b, face_a, sig, src_info, tap_xyz):
+    def core_fwd(face_b, face_a, sig):
         def body(carry, c):
             cur, prev, st, bad = carry
             s = jax.lax.dynamic_slice_in_dim(sig, c * chunk, chunk)
-            cur, prev, st, taps, b, res = gcall(src_info, tap_xyz, s,
-                                                face_b, face_a, cur,
+            cur, prev, st, taps, b, res = gcall(s, face_b, face_a, cur,
                                                 prev, st)
             return (cur, prev, st, bad + b[0, 0]), (taps, res)
 
         (cur, prev, st, bad), (taps, res) = jax.lax.scan(
             body, (*init_state(), jnp.float32(0.0)), jnp.arange(nchunks))
         stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
-        return (taps, stable), (face_b, face_a, src_info, tap_xyz, res)
+        return (taps, stable), (face_b, face_a, res)
 
     def core_bwd(saved, ct):
-        face_b, face_a, src_info, tap_xyz, res = saved
+        face_b, face_a, res = saved
         gtaps, _ = ct
 
         def body(carry, c):
             gnext, gcur, gst, gfb, gfa = carry
             gnext, gcur, gst, gfb_c, gfa_c, gsig_c = bcall(
-                src_info, tap_xyz, face_b, face_a, gtaps[c], res[c],
-                gnext, gcur, gst)
+                face_b, face_a, gtaps[c], res[c], gnext, gcur, gst)
             return (gnext, gcur, gst, gfb + gfb_c, gfa + gfa_c), \
                 gsig_c[:, 0]
 
@@ -843,8 +899,7 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
             jnp.arange(nchunks - 1, -1, -1))
         # gsig rows come out chunk-reversed; restore time order
         gsig = jnp.flip(gsig, axis=0).reshape(nchunks * chunk)
-        f0 = lambda a: np.zeros(np.shape(a), jax.dtypes.float0)  # noqa
-        return (gfb, gfa, gsig, f0(src_info), f0(tap_xyz))
+        return (gfb, gfa, gsig)
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -852,12 +907,14 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
 
 @functools.lru_cache(maxsize=16)
 def _jitted_runner(spec: BoxSpec, chunk: int, k: int, order: int,
-                   nchunks: int, num_steps: int, interpret: bool):
-    core = _diff_core(spec, chunk, k, order, nchunks, interpret)
+                   nchunks: int, num_steps: int, src, taps_c,
+                   interpret: bool):
+    core = _diff_core(spec, chunk, k, order, nchunks, src, taps_c,
+                      interpret)
 
     @jax.jit
-    def run(src_info, tap_xyz, sig, face_b, face_a, receiver):
-        taps, stable = core(face_b, face_a, sig, src_info, tap_xyz)
+    def run(sig, face_b, face_a, receiver):
+        taps, stable = core(face_b, face_a, sig)
         taps = taps.reshape(nchunks * chunk, k)[:num_steps]
         outputs = replay_taps(receiver, taps)
         return outputs, stable
@@ -886,8 +943,8 @@ def run_waveguide_box_mega(structure, spec: BoxSpec, source, receiver,
     face_b = jnp.asarray(structure.coef_b)[face_idx].astype(jnp.float32)
     face_a = jnp.asarray(structure.coef_a)[face_idx].astype(jnp.float32)
 
-    inj_idx0, _ = source.kernel_injection(dims, 0)
-    src_info = inj_idx0                              # (x, y, z, mode)
+    src = tuple(int(v) for v in np.asarray(jax.device_get(
+        source.kernel_injection(dims, 0)[0])))       # (x, y, z, mode)
     nchunks = -(-num_steps // chunk)
     T = nchunks * chunk
     sig = jnp.zeros((T,), jnp.float32).at[:num_steps].set(
@@ -895,13 +952,12 @@ def run_waveguide_box_mega(structure, spec: BoxSpec, source, receiver,
 
     tap_nodes = np.asarray(jax.device_get(receiver.tap_nodes())).reshape(-1)
     k = int(tap_nodes.size)
-    tap_xyz = jnp.asarray(np.stack(np.unravel_index(tap_nodes, dims),
-                                   axis=-1).astype(np.int32))
+    taps_c = tuple(tuple(int(v) for v in row) for row in np.stack(
+        np.unravel_index(tap_nodes, dims), axis=-1))
 
     run = _jitted_runner(spec, chunk, k, order, nchunks, num_steps,
-                         interpret)
-    outputs, stable = run(src_info, tap_xyz, sig, face_b, face_a,
-                          receiver)
+                         src, taps_c, interpret)
+    outputs, stable = run(sig, face_b, face_a, receiver)
     return {"outputs": outputs, "stable": stable}
 
 
@@ -916,19 +972,21 @@ def mega_canonical_loss_fn(structure, spec, source, receiver, num_steps,
     custom VJP."""
     dims = spec.dims
     order = structure.filter_order
-    inj_idx0, _ = source.kernel_injection(dims, 0)
+    src = tuple(int(v) for v in np.asarray(jax.device_get(
+        source.kernel_injection(dims, 0)[0])))
     nchunks = -(-num_steps // chunk)
     tap_nodes = np.asarray(jax.device_get(receiver.tap_nodes())).reshape(-1)
     k = int(tap_nodes.size)
-    tap_xyz = jnp.asarray(np.stack(np.unravel_index(tap_nodes, dims),
-                                   axis=-1).astype(np.int32))
-    core = _diff_core(spec, chunk, k, order, nchunks, interpret)
+    taps_c = tuple(tuple(int(v) for v in row) for row in np.stack(
+        np.unravel_index(tap_nodes, dims), axis=-1))
+    core = _diff_core(spec, chunk, k, order, nchunks, src, taps_c,
+                      interpret)
 
     def f(face_b, face_a, sig):
         T = nchunks * chunk
         sigp = jnp.zeros((T,), jnp.float32).at[:num_steps].set(
             sig[:num_steps].astype(jnp.float32))
-        taps, stable = core(face_b, face_a, sigp, inj_idx0, tap_xyz)
+        taps, stable = core(face_b, face_a, sigp)
         return taps.reshape(T, k)[:num_steps], stable
 
     return f
