@@ -323,7 +323,11 @@ def mt_intersection(origin, direction, tris: PallasTriangles,
     R = origin.shape[0]
     if exclude_triangle is None:
         exclude_triangle = jnp.full((R,), -1, dtype=jnp.int32)
-    sort_rays = tris.culled and jax.default_backend() not in ("axon",)
+    # this deployment's TPU stack (axon PJRT, which reports
+    # default_backend() == "tpu") hits a jax lowering KeyError on argsort
+    # inside this jit (closed_call cache miss), so ray sorting stays off
+    # TPU here; the per-tile AABB/current-best-t gate still culls
+    sort_rays = tris.culled and jax.default_backend() == "cpu"
     if tris.culled:
         # exclude/result ids are ORIGINAL triangle ids; the kernel works
         # in Morton-sorted ids
