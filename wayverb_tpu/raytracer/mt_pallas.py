@@ -213,12 +213,15 @@ def _mt_kernel_culled(o_ref, d_ref, ex_ref, tri_ref, box_ref, t_ref,
     safe = jnp.where(jnp.abs(d) < 1e-20,
                      jnp.where(d >= 0, 1e-20, -1e-20), d)
     rd = 1.0 / safe
-    lo = box_ref[0, 0:3][None, :]                              # (1, 3)
-    hi = box_ref[0, 3:6][None, :]
-    t0 = (lo - o) * rd
-    t1 = (hi - o) * rd
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=1, keepdims=True)
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=1, keepdims=True)
+    # per-component slab test with SMEM scalar box bounds (a (1, 8) VMEM
+    # block would violate Mosaic's (8, 128) tiling rules)
+    tnear = jnp.full_like(t_ref[...], -BIG)
+    tfar = jnp.full_like(t_ref[...], BIG)
+    for c in range(3):
+        t0 = (box_ref[t_blk, c] - o[:, c:c + 1]) * rd[:, c:c + 1]
+        t1 = (box_ref[t_blk, 3 + c] - o[:, c:c + 1]) * rd[:, c:c + 1]
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
     possible = (tnear <= tfar) & (tfar > 0.0) & (tnear < t_ref[...])
 
     @pl.when(jnp.any(possible))
@@ -248,8 +251,7 @@ def _pallas_closest(origin, direction, exclude, tris: PallasTriangles,
     kernel = _mt_kernel
     if tris.culled:
         kernel = _mt_kernel_culled
-        in_specs.append(pl.BlockSpec((1, 8), lambda r, t: (t, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(tris.tile_boxes)
 
     out = pl.pallas_call(
