@@ -61,7 +61,7 @@ from wayverb_tpu.waveguide.sources import (HardSource,  # noqa: E402
 
 XL, Y, Z = 16, 48, 128         # per-shard block
 STEPS = 100
-REPS = 5
+REPS = 9
 FS = 3333.33
 DX = grid_spacing(340.0, 1.0 / FS)
 
