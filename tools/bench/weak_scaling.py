@@ -93,7 +93,13 @@ def _time(fn):
     return min(ts)
 
 
-def time_sharded(n):
+def time_pair(n):
+    """(t_sharded, t_ctrl) for n shards, with INTERLEAVED timing rounds:
+    the ctrl is the identical partitioned program with ppermute/psum
+    stubbed out (box_sharded fake_collectives) — the host's perfect-
+    parallelism ceiling for exactly this program.  Interleaving cancels
+    the 2-core host's minute-scale load drift, which otherwise dominates
+    the sharded/ctrl ratio."""
     mesh, source, receiver = build(n)
     devmesh = ps.make_device_mesh(n)
 
@@ -104,16 +110,6 @@ def time_sharded(n):
             STEPS)
         return jnp.sum(out["outputs"] ** 2)
 
-    return _time(lambda: float(sharded()))
-
-
-def time_ctrl(n):
-    """Collective-free control: the IDENTICAL partitioned program with
-    ppermute/psum stubbed out (box_sharded fake_collectives) — the
-    host's perfect-parallelism ceiling for exactly this program."""
-    mesh, source, receiver = build(n)
-    devmesh = ps.make_device_mesh(n)
-
     @jax.jit
     def ctrl():
         out = bs.run_waveguide_box_sharded(
@@ -121,7 +117,20 @@ def time_ctrl(n):
             STEPS, fake_collectives=True)
         return jnp.sum(out["outputs"] ** 2)
 
-    return _time(lambda: float(ctrl()))
+    float(sharded())
+    float(ctrl())
+    ts, tc, ratios = [], [], []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(sharded())
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(ctrl())
+        t_c = time.perf_counter() - t0
+        ts.append(t_s)
+        tc.append(t_c)
+        ratios.append(t_c / t_s)   # paired: same scheduling weather
+    return min(ts), min(tc), float(np.median(ratios))
 
 
 def main():
@@ -130,11 +139,17 @@ def main():
     while n <= MAX_N:
         ns.append(n)
         n *= 2
-    times = {n: time_sharded(n) for n in ns}
-    ctrl = {n: time_ctrl(n) for n in ns}
+    pairs = {n: time_pair(n) for n in ns}
+    times = {n: p[0] for n, p in pairs.items()}
+    ctrl = {n: p[1] for n, p in pairs.items()}
+    ratio = {n: p[2] for n, p in pairs.items()}
     nmax = ns[-1]
     eff = times[ns[0]] / times[nmax]
     ctrl_eff = ctrl[ns[0]] / ctrl[nmax]
+    # drift-robust collective efficiency: per-rep PAIRED ctrl/sharded
+    # ratios share a scheduling window, so their medians cancel the
+    # 2-core host's load swings that dominate min-of-runs comparisons
+    vs_ctrl_paired = min(ratio[nmax] / ratio[ns[0]], 1.0)
     Vmax = max(Y, Z)
     Umax = max(XL * nmax, Y)
     wire = {
@@ -148,10 +163,24 @@ def main():
                          "r3_bytes": (2 * 224 * 256
                                       + 6 * 224 * 256) * 4},
     }
+    # auditable ICI projection at the production shape: per-step wire
+    # (467 KB) over one v5e ICI link (~45 GB/s) vs per-shard compute
+    # (224^3/8 nodes at the measured 3.6e10 upd/s fused rate); the CPU
+    # harness's ~0.5 vs_ctrl reflects its ~0.3 ms software collectives,
+    # not this wire time
+    wire_s = wire["at_224_cubed"]["ppermute_bytes"] / 45e9
+    compute_s = (224 * 224 * 256 / 8) / 3.6e10
+    wire["ici_projection_224_8shards"] = {
+        "wire_s_per_step": wire_s,
+        "compute_s_per_step_per_shard": compute_s,
+        "efficiency_no_overlap": compute_s / (compute_s + wire_s),
+        "ici_link_gbps_assumed": 45,
+    }
     print(json.dumps({
         "efficiency": eff,
         "ctrl_efficiency": ctrl_eff,
-        "efficiency_vs_ctrl": min(eff / ctrl_eff, 1.0),
+        "efficiency_vs_ctrl": vs_ctrl_paired,
+        "efficiency_vs_ctrl_minbased": min(eff / ctrl_eff, 1.0),
         "shards": ns,
         "step_times_s": {str(k): v / STEPS for k, v in times.items()},
         "ctrl_step_times_s": {str(k): v / STEPS for k, v in ctrl.items()},
