@@ -253,19 +253,15 @@ class _MegaKernel:
             raise ValueError(f"dims {spec.dims} not tile-aligned")
         self.Umax, self.Vmax = stacked_plane_shape(spec)
 
-    # -- plane slices of the resident buffers ---------------------------
-    def _plane_slices(self, A, B):
-        spec = self.spec
-        blo = tuple(spec.ilo[a] - 1 for a in range(3))
-        bhi = tuple(spec.ihi[a] + 1 for a in range(3))
-        pl6, in6, prev6 = [], [], []
-        for pi, (a, side) in enumerate(PLANES):
-            pc = blo[a] if side == 0 else bhi[a]
-            pci = spec.ilo[a] if side == 0 else spec.ihi[a]
-            pl6.append(_plane_of(A, a, pc))
-            in6.append(_plane_of(A, a, pci))
-            prev6.append(_plane_of(B, a, pc))
-        return tuple(pl6), tuple(in6), tuple(prev6)
+    # -- carried planes ------------------------------------------------
+    # Boundary/inner plane pressures are CARRIED in per-plane 2-D scratch
+    # (PL = boundary planes of the current field, INS = first-inside
+    # planes, PRVP = boundary planes of the previous field) and extracted
+    # slab-wise from the freshly computed field inside the stencil loop —
+    # whole-array lane/sublane plane slices of the big resident refs
+    # (A[:, :, pc] etc.) are the Mosaic compile/runtime cliff documented
+    # in MEGA_NOTES.md; 8-row slab extractions are the r3 streaming
+    # kernel's proven-fast pattern.
 
     def _read_st(self, STS):
         # per-slot 2-D reads + an axis-0 stack: a rank-4 ref slice through
@@ -311,8 +307,29 @@ class _MegaKernel:
 
         jax.lax.fori_loop(0, nb, slab, 0)
 
+    def _patch_ins(self, INS, sig_t):
+        """Mirror the (static-coordinate) injection onto the carried
+        inner planes — the extraction ran before this sub-step's
+        injection touched the field."""
+        spec = self.spec
+        sx, sy, sz, mode = self.src
+        if mode == 0:
+            return
+        src_xyz = (sx, sy, sz)
+        for pi, (a, side) in enumerate(PLANES):
+            coord = spec.ilo[a] if side == 0 else spec.ihi[a]
+            if src_xyz[a] != coord:
+                continue
+            a1, a2 = _other_axes(a)
+            u, v = src_xyz[a1], src_xyz[a2]
+            V = spec.plane_shape(pi)[1]
+            lane_v = _iota((1, V), 1)
+            row = INS[pi][u:u + 1, :]
+            patched = sig_t if mode == 1 else row + sig_t
+            INS[pi][u:u + 1, :] = jnp.where(lane_v == v, patched, row)
+
     # -- one leapfrog sub-step ------------------------------------------
-    def _substep(self, A, B, STS, PPL, fb, fa, sig_t, taps_out,
+    def _substep(self, A, B, STS, PL, INS, PRVP, fb, fa, sig_t, taps_out,
                  t, res_stage, res_hbm, res_sem):
         """B <- next field (in place over previous); writes the tap row
         and returns this sub-step's badness contribution."""
@@ -339,12 +356,15 @@ class _MegaKernel:
             tvals.append(jnp.sum(jnp.where(lane == tz, trow, 0.0)))
         taps_out[pl.ds(t, 1), :] = jnp.stack(tvals)[None, :]
 
-        # boundary planes (before the stencil consumes/overwrites B)
         if "noplane" in _MEGA_DEBUG:
             self._substep_bare(A, B)
             return jnp.float32(0.0)
+
+        self._patch_ins(INS, sig_t)
         fbv, fav = fb[...], fa[...]
-        pl6, in6, prev6 = self._plane_slices(A, B)
+        pl6 = tuple(PL[pi][...] for pi in range(6))
+        in6 = tuple(INS[pi][...] for pi in range(6))
+        prev6 = tuple(PRVP[pi][...] for pi in range(6))
         st6 = self._read_st(STS)
 
         if self.grad:
@@ -368,13 +388,16 @@ class _MegaKernel:
 
         bad = jnp.float32(0.0)
         for pi in range(6):
-            U, V = spec.plane_shape(pi)
-            PPL[pi, :U, :V] = pplus[pi]
+            # PRVP <- old PL, then PL <- pplus: PL now holds this step's
+            # computed boundary pressures (read below by the splices and
+            # carried as next sub-step's boundary planes)
+            PRVP[pi][...] = PL[pi][...]
+            PL[pi][...] = pplus[pi]
             bad = bad + (1.0 - jnp.isfinite(jnp.sum(pplus[pi]))
                          .astype(jnp.float32))
 
-        # interior stencil + y/z splices, slab by slab (in place over B);
-        # splice precedence y < z < x mirrors box_fused._fwd_kernel
+        # interior stencil + splices + slab-wise inner-plane extraction
+        # (splice precedence y < z < x mirrors box_fused._fwd_kernel)
         iy = _iota((1, Y, 1), 1)
         iz = _iota((1, 1, Z), 2)
         yz_m = ((iy >= ilo[1]) & (iy <= ihi[1]) &
@@ -402,16 +425,16 @@ class _MegaKernel:
 
             # z-plane splices as lane selects
             res = jnp.where(iz == blo[2],
-                            PPL[4, pl.ds(r, XT), :Y][:, :, None], res)
+                            PL[4][pl.ds(r, XT), :][:, :, None], res)
             res = jnp.where(iz == bhi[2],
-                            PPL[5, pl.ds(r, XT), :Y][:, :, None], res)
+                            PL[5][pl.ds(r, XT), :][:, :, None], res)
             bs = B.at[pl.ds(r, XT)]
             bs[...] = res
 
             # y splices as row stores, z-edge lines patched with the z
             # planes' values (precedence)
-            zlo_blk = PPL[4, pl.ds(r, XT), :Y]
-            zhi_blk = PPL[5, pl.ds(r, XT), :Y]
+            zlo_blk = PL[4][pl.ds(r, XT), :]
+            zhi_blk = PL[5][pl.ds(r, XT), :]
 
             def patched_y(y_row, yc):
                 y_row = jnp.where(iz[0] == blo[2],
@@ -419,34 +442,69 @@ class _MegaKernel:
                 return jnp.where(iz[0] == bhi[2],
                                  zhi_blk[:, yc:yc + 1], y_row)
 
-            bs[:, blo[1], :] = patched_y(PPL[2, pl.ds(r, XT), :Z], blo[1])
-            bs[:, bhi[1], :] = patched_y(PPL[3, pl.ds(r, XT), :Z], bhi[1])
+            bs[:, blo[1], :] = patched_y(PL[2][pl.ds(r, XT), :], blo[1])
+            bs[:, bhi[1], :] = patched_y(PL[3][pl.ds(r, XT), :], bhi[1])
+
+            # x-plane splices: final writers, in the owning slab
+            @pl.when(j == blo[0] // XT)
+            def _():
+                B[blo[0]:blo[0] + 1] = PL[0][...][None]
+
+            @pl.when(j == bhi[0] // XT)
+            def _():
+                B[bhi[0]:bhi[0] + 1] = PL[1][...][None]
+
+            # slab-wise inner-plane extraction of the NEW field (next
+            # sub-step's INS) — after every splice wrote its rows
+            blk = B[pl.ds(r, XT)]
+            INS[2][pl.ds(r, XT), :] = blk[:, ilo[1], :]
+            INS[3][pl.ds(r, XT), :] = blk[:, ihi[1], :]
+            INS[4][pl.ds(r, XT), :] = blk[:, :, ilo[2]]
+            INS[5][pl.ds(r, XT), :] = blk[:, :, ihi[2]]
+
+            @pl.when(j == ilo[0] // XT)
+            def _():
+                INS[0][...] = blk[ilo[0] % XT]
+
+            @pl.when(j == ihi[0] // XT)
+            def _():
+                INS[1][...] = blk[ihi[0] % XT]
             return 0
 
         jax.lax.fori_loop(0, nb, slab, 0)
-
-        # x-plane splices: static rows, final writers
-        B[blo[0]] = PPL[0, :spec.dims[1], :spec.dims[2]]
-        B[bhi[0]] = PPL[1, :spec.dims[1], :spec.dims[2]]
         return bad
 
     # -- kernel body -----------------------------------------------------
     def kernel(self, sig_ref, fb_ref, fa_ref,
-               cur_hbm, prev_hbm, st_hbm, *rest):
+               cur_hbm, prev_hbm, st_hbm, pln_hbm, *rest):
         if self.grad:
-            (cur_out, prev_out, st_out, taps_out, bad_out, res_hbm,
-             A, B, STS, PPL, RSTG, sems) = rest
+            (cur_out, prev_out, st_out, pln_out, taps_out, bad_out,
+             res_hbm, A, B, STS, *planes, RSTG, sems) = rest
             res_sem = sems.at[3]
         else:
-            (cur_out, prev_out, st_out, taps_out, bad_out,
-             A, B, STS, PPL, sems) = rest
+            (cur_out, prev_out, st_out, pln_out, taps_out, bad_out,
+             A, B, STS, *planes, sems) = rest
             res_hbm = RSTG = res_sem = None
+        PL, INS, PRVP = (tuple(planes[0:6]), tuple(planes[6:12]),
+                         tuple(planes[12:18]))
+
+        def pln_copies(to_scratch):
+            cs = []
+            for role, refs in ((0, PL), (1, INS), (2, PRVP)):
+                for pi in range(6):
+                    U, V = self.spec.plane_shape(pi)
+                    hb = (pln_hbm if to_scratch else pln_out) \
+                        .at[role, pi, :U, :V]
+                    pair = (hb, refs[pi]) if to_scratch else (refs[pi], hb)
+                    cs.append(pltpu.make_async_copy(
+                        pair[0], pair[1], sems.at[4 + role * 6 + pi]))
+            return cs
 
         copies = [
             pltpu.make_async_copy(cur_hbm, A, sems.at[0]),
             pltpu.make_async_copy(prev_hbm, B, sems.at[1]),
             pltpu.make_async_copy(st_hbm, STS, sems.at[2]),
-        ]
+        ] + pln_copies(True)
         for c in copies:
             c.start()
         for c in copies:
@@ -454,12 +512,12 @@ class _MegaKernel:
 
         def two(i, bad):
             t0 = 2 * i
-            bad = bad + self._substep(A, B, STS, PPL, fb_ref, fa_ref,
-                                      sig_ref[t0], taps_out, t0, RSTG,
-                                      res_hbm, res_sem)
-            bad = bad + self._substep(B, A, STS, PPL, fb_ref, fa_ref,
-                                      sig_ref[t0 + 1], taps_out, t0 + 1,
+            bad = bad + self._substep(A, B, STS, PL, INS, PRVP, fb_ref,
+                                      fa_ref, sig_ref[t0], taps_out, t0,
                                       RSTG, res_hbm, res_sem)
+            bad = bad + self._substep(B, A, STS, PL, INS, PRVP, fb_ref,
+                                      fa_ref, sig_ref[t0 + 1], taps_out,
+                                      t0 + 1, RSTG, res_hbm, res_sem)
             return bad
 
         bad = jax.lax.fori_loop(0, self.K // 2, two, jnp.float32(0.0))
@@ -469,7 +527,7 @@ class _MegaKernel:
             pltpu.make_async_copy(A, cur_out, sems.at[0]),
             pltpu.make_async_copy(B, prev_out, sems.at[1]),
             pltpu.make_async_copy(STS, st_out, sems.at[2]),
-        ]
+        ] + pln_copies(False)
         for c in copies:
             c.start()
         for c in copies:
@@ -705,27 +763,31 @@ def _build_call(spec: BoxSpec, K: int, k: int, order: int, src, taps,
     anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)       # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)      # noqa: E731
     out_shape = [_f32(X, Y, Z), _f32(X, Y, Z),
-                 _f32(order, 6, Umax, Vmax), _f32(K, k), _f32(1, 1)]
-    out_specs = [anym(), anym(), anym(), vmem(), smem()]
+                 _f32(order, 6, Umax, Vmax), _f32(3, 6, Umax, Vmax),
+                 _f32(K, k), _f32(1, 1)]
+    out_specs = [anym(), anym(), anym(), anym(), vmem(), smem()]
     scratch = [
         pltpu.VMEM((X, Y, Z), jnp.float32),
         pltpu.VMEM((X, Y, Z), jnp.float32),
         pltpu.VMEM((order, 6, Umax, Vmax), jnp.float32),
-        pltpu.VMEM((6, Umax, Vmax), jnp.float32),
     ]
+    # carried per-plane 2-D scratch: PL, INS, PRVP x 6 natural shapes
+    for _role in range(3):
+        for pi in range(6):
+            scratch.append(pltpu.VMEM(spec.plane_shape(pi), jnp.float32))
     if grad:
         out_shape.append(_f32(K, 4, 6, Umax, Vmax))
         out_specs.append(anym())
         scratch.append(pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    scratch.append(pltpu.SemaphoreType.DMA((22,)))
     return pl.pallas_call(
         mk.kernel,
         in_specs=[smem(), vmem(), vmem(),
-                  anym(), anym(), anym()],
+                  anym(), anym(), anym(), anym()],
         out_shape=tuple(out_shape),
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
@@ -851,33 +913,32 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
 
     def init_state():
         return (jnp.zeros(dims, jnp.float32), jnp.zeros(dims, jnp.float32),
-                jnp.zeros((order, 6, Umax, Vmax), jnp.float32))
+                jnp.zeros((order, 6, Umax, Vmax), jnp.float32),
+                jnp.zeros((3, 6, Umax, Vmax), jnp.float32))
 
     @jax.custom_vjp
     def core(face_b, face_a, sig):
-        cur, prev, st = init_state()
-
         def body(carry, c):
-            cur, prev, st, bad = carry
+            cur, prev, st, pln, bad = carry
             s = jax.lax.dynamic_slice_in_dim(sig, c * chunk, chunk)
-            cur, prev, st, taps, b = fcall(s, face_b, face_a, cur, prev,
-                                           st)
-            return (cur, prev, st, bad + b[0, 0]), taps
+            cur, prev, st, pln, taps, b = fcall(s, face_b, face_a, cur,
+                                                prev, st, pln)
+            return (cur, prev, st, pln, bad + b[0, 0]), taps
 
-        (cur, prev, st, bad), taps = jax.lax.scan(
+        (cur, prev, st, pln, bad), taps = jax.lax.scan(
             body, (*init_state(), jnp.float32(0.0)), jnp.arange(nchunks))
         stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
         return taps, stable
 
     def core_fwd(face_b, face_a, sig):
         def body(carry, c):
-            cur, prev, st, bad = carry
+            cur, prev, st, pln, bad = carry
             s = jax.lax.dynamic_slice_in_dim(sig, c * chunk, chunk)
-            cur, prev, st, taps, b, res = gcall(s, face_b, face_a, cur,
-                                                prev, st)
-            return (cur, prev, st, bad + b[0, 0]), (taps, res)
+            cur, prev, st, pln, taps, b, res = gcall(s, face_b, face_a,
+                                                     cur, prev, st, pln)
+            return (cur, prev, st, pln, bad + b[0, 0]), (taps, res)
 
-        (cur, prev, st, bad), (taps, res) = jax.lax.scan(
+        (cur, prev, st, pln, bad), (taps, res) = jax.lax.scan(
             body, (*init_state(), jnp.float32(0.0)), jnp.arange(nchunks))
         stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
         return (taps, stable), (face_b, face_a, res)
@@ -894,8 +955,10 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
                 gsig_c[:, 0]
 
         z66 = jnp.zeros((6, order + 1), jnp.float32)
+        zf = jnp.zeros(dims, jnp.float32)
+        zst = jnp.zeros((order, 6, Umax, Vmax), jnp.float32)
         (gnext, gcur, gst, gfb, gfa), gsig = jax.lax.scan(
-            body, (*init_state(), z66, z66),
+            body, (zf, zf, zst, z66, z66),
             jnp.arange(nchunks - 1, -1, -1))
         # gsig rows come out chunk-reversed; restore time order
         gsig = jnp.flip(gsig, axis=0).reshape(nchunks * chunk)
