@@ -362,9 +362,11 @@ class _MegaKernel:
 
         self._patch_ins(INS, sig_t)
         fbv, fav = fb[...], fa[...]
-        pl6 = tuple(PL[pi][...] for pi in range(6))
-        in6 = tuple(INS[pi][...] for pi in range(6))
-        prev6 = tuple(PRVP[pi][...] for pi in range(6))
+        shp = [spec.plane_shape(pi) for pi in range(6)]
+        pl6 = tuple(PL[pi][:shp[pi][0], :shp[pi][1]] for pi in range(6))
+        in6 = tuple(INS[pi][:shp[pi][0], :shp[pi][1]] for pi in range(6))
+        prev6 = tuple(PRVP[pi][:shp[pi][0], :shp[pi][1]]
+                      for pi in range(6))
         st6 = self._read_st(STS)
 
         if self.grad:
@@ -391,8 +393,9 @@ class _MegaKernel:
             # PRVP <- old PL, then PL <- pplus: PL now holds this step's
             # computed boundary pressures (read below by the splices and
             # carried as next sub-step's boundary planes)
+            U, V = shp[pi]
             PRVP[pi][...] = PL[pi][...]
-            PL[pi][...] = pplus[pi]
+            PL[pi][:U, :V] = pplus[pi]
             bad = bad + (1.0 - jnp.isfinite(jnp.sum(pplus[pi]))
                          .astype(jnp.float32))
 
@@ -425,16 +428,16 @@ class _MegaKernel:
 
             # z-plane splices as lane selects
             res = jnp.where(iz == blo[2],
-                            PL[4][pl.ds(r, XT), :][:, :, None], res)
+                            PL[4][pl.ds(r, XT), :Y][:, :, None], res)
             res = jnp.where(iz == bhi[2],
-                            PL[5][pl.ds(r, XT), :][:, :, None], res)
+                            PL[5][pl.ds(r, XT), :Y][:, :, None], res)
             bs = B.at[pl.ds(r, XT)]
             bs[...] = res
 
             # y splices as row stores, z-edge lines patched with the z
             # planes' values (precedence)
-            zlo_blk = PL[4][pl.ds(r, XT), :]
-            zhi_blk = PL[5][pl.ds(r, XT), :]
+            zlo_blk = PL[4][pl.ds(r, XT), :Y]
+            zhi_blk = PL[5][pl.ds(r, XT), :Y]
 
             def patched_y(y_row, yc):
                 y_row = jnp.where(iz[0] == blo[2],
@@ -442,33 +445,33 @@ class _MegaKernel:
                 return jnp.where(iz[0] == bhi[2],
                                  zhi_blk[:, yc:yc + 1], y_row)
 
-            bs[:, blo[1], :] = patched_y(PL[2][pl.ds(r, XT), :], blo[1])
-            bs[:, bhi[1], :] = patched_y(PL[3][pl.ds(r, XT), :], bhi[1])
+            bs[:, blo[1], :] = patched_y(PL[2][pl.ds(r, XT), :Z], blo[1])
+            bs[:, bhi[1], :] = patched_y(PL[3][pl.ds(r, XT), :Z], bhi[1])
 
             # x-plane splices: final writers, in the owning slab
             @pl.when(j == blo[0] // XT)
             def _():
-                B[blo[0]:blo[0] + 1] = PL[0][...][None]
+                B[blo[0]:blo[0] + 1] = PL[0][:Y, :Z][None]
 
             @pl.when(j == bhi[0] // XT)
             def _():
-                B[bhi[0]:bhi[0] + 1] = PL[1][...][None]
+                B[bhi[0]:bhi[0] + 1] = PL[1][:Y, :Z][None]
 
             # slab-wise inner-plane extraction of the NEW field (next
             # sub-step's INS) — after every splice wrote its rows
             blk = B[pl.ds(r, XT)]
-            INS[2][pl.ds(r, XT), :] = blk[:, ilo[1], :]
-            INS[3][pl.ds(r, XT), :] = blk[:, ihi[1], :]
-            INS[4][pl.ds(r, XT), :] = blk[:, :, ilo[2]]
-            INS[5][pl.ds(r, XT), :] = blk[:, :, ihi[2]]
+            INS[2][pl.ds(r, XT), :Z] = blk[:, ilo[1], :]
+            INS[3][pl.ds(r, XT), :Z] = blk[:, ihi[1], :]
+            INS[4][pl.ds(r, XT), :Y] = blk[:, :, ilo[2]]
+            INS[5][pl.ds(r, XT), :Y] = blk[:, :, ihi[2]]
 
             @pl.when(j == ilo[0] // XT)
             def _():
-                INS[0][...] = blk[ilo[0] % XT]
+                INS[0][:Y, :Z] = blk[ilo[0] % XT]
 
             @pl.when(j == ihi[0] // XT)
             def _():
-                INS[1][...] = blk[ihi[0] % XT]
+                INS[1][:Y, :Z] = blk[ihi[0] % XT]
             return 0
 
         jax.lax.fori_loop(0, nb, slab, 0)
@@ -492,9 +495,7 @@ class _MegaKernel:
             cs = []
             for role, refs in ((0, PL), (1, INS), (2, PRVP)):
                 for pi in range(6):
-                    U, V = self.spec.plane_shape(pi)
-                    hb = (pln_hbm if to_scratch else pln_out) \
-                        .at[role, pi, :U, :V]
+                    hb = (pln_hbm if to_scratch else pln_out).at[role, pi]
                     pair = (hb, refs[pi]) if to_scratch else (refs[pi], hb)
                     cs.append(pltpu.make_async_copy(
                         pair[0], pair[1], sems.at[4 + role * 6 + pi]))
@@ -771,10 +772,12 @@ def _build_call(spec: BoxSpec, K: int, k: int, order: int, src, taps,
         pltpu.VMEM((X, Y, Z), jnp.float32),
         pltpu.VMEM((order, 6, Umax, Vmax), jnp.float32),
     ]
-    # carried per-plane 2-D scratch: PL, INS, PRVP x 6 natural shapes
+    # carried per-plane 2-D scratch: PL, INS, PRVP x 6, PADDED to the
+    # uniform (Umax, Vmax) (DMA slices must be lane-aligned; the math
+    # reads/writes the [:U, :V] region, the padding stays zero)
     for _role in range(3):
         for pi in range(6):
-            scratch.append(pltpu.VMEM(spec.plane_shape(pi), jnp.float32))
+            scratch.append(pltpu.VMEM((Umax, Vmax), jnp.float32))
     if grad:
         out_shape.append(_f32(K, 4, 6, Umax, Vmax))
         out_specs.append(anym())
