@@ -84,13 +84,7 @@ def bench_waveguide_forward(platform):
         side = (64, 64, 128)
         steps = 50
     else:
-        # mega-path bench shape: 4.2M nodes.  The kernel itself supports
-        # up to ~(224, 224, 256) (VMEM capacity bound), but the Mosaic
-        # compile of the in-kernel boundary-plane code scales badly with
-        # plane area (96^3 ~4 min, 224^3 >1 h) — this shape keeps the
-        # one-time compile tractable; throughput is shape-insensitive
-        # once the chunk amortizes launch latency (VMEM-resident).
-        side = (128, 128, 256)
+        side = (224, 224, 256)
         steps = 1024
 
     fs = 3333.33
@@ -112,6 +106,24 @@ def bench_waveguide_forward(platform):
     receiver = NodeReceiver(
         node_idx=jnp.asarray(desc.flat_index(rcv_loc), dtype=jnp.int32))
 
+    from wayverb_tpu.waveguide.box_mega import (mega_supported,
+                                                run_waveguide_box_mega)
+    extra = {}
+    use_mega = mega_supported(mesh.box_spec, source, receiver)
+    if use_mega:
+        # r4 flagship: VMEM-resident multi-step mega-kernel — the field
+        # ping-pong + carried boundary planes + IIR state live in VMEM
+        # for 64 steps per pallas_call (HBM ~4 fields per chunk); the
+        # r4.2 slab-wise plane restructure compiles in ~20 s and runs at
+        # 5.7e10 upd/s = 0.84 HBM-SoL at this shape (MEGA_NOTES.md)
+        def forward():
+            out = run_waveguide_box_mega(
+                mesh.structure, mesh.box_spec, source, receiver, steps,
+                chunk=64)
+            return float(jnp.sum(out["outputs"]))
+
+        dt, _ = _time_scalar_fn(forward)
+
     body = make_box_body(mesh.structure, mesh.box_spec, source, receiver)
     init = initial_box_carry(mesh.structure, mesh.box_spec, receiver)
 
@@ -122,9 +134,13 @@ def bench_waveguide_forward(platform):
                                       unroll=4)
         return outputs[-1] + 0.0 * carry[0][8, 8, 8]
 
-    dt, _ = _time_scalar_fn(lambda: float(fwd()))
+    dt_stream, _ = _time_scalar_fn(lambda: float(fwd()))
+    extra["streaming_fwd_updates_per_s"] = num_nodes * steps / dt_stream
+    if not use_mega:
+        dt = dt_stream
     ctx = dict(mesh=mesh, source=source, receiver=receiver,
-               num_nodes=num_nodes, steps=steps, mega=False)
+               num_nodes=num_nodes, steps=steps, mega=use_mega,
+               fwd_extra=extra)
     return num_nodes * steps / dt, ctx
 
 
@@ -394,6 +410,7 @@ def main():
     try:
         fwd, ctx = bench_waveguide_forward(platform)
         metrics["waveguide_fwd"] = fwd
+        extra.update(ctx.get("fwd_extra", {}))
     except Exception:
         errors["waveguide_fwd"] = traceback.format_exc(limit=4)
 
