@@ -565,8 +565,8 @@ class _MegaBwdKernel:
         self.taps = tuple(tuple(int(v) for v in t) for t in taps)
         self.Umax, self.Vmax = stacked_plane_shape(spec)
 
-    def _substep(self, P, Q, GSTS, fbv, fav, gtaps, gsig_out,
-                 t, res_hbm, RSTG, res_sem, gth):
+    def _substep(self, P, Q, GSTS, GP, GPL, GIN, GPV, fbv, fav, gtaps,
+                 gsig_out, t, res_hbm, RSTG, res_sem, gth):
         spec = self.spec
         X, Y, Z = spec.dims
         nb = X // XT
@@ -585,15 +585,25 @@ class _MegaBwdKernel:
         yz_m = ((iy >= ilo[1]) & (iy <= ihi[1]) &
                 (iz >= ilo[2]) & (iz <= ihi[2]))
 
-        # 1. stencil transpose: Q += λ²·Σ shift(M·P), slab by slab
+        # 1. stencil transpose: Q += λ²·Σ shift(M·P), slab by slab; the
+        # same pass extracts the boundary-plane cotangents ĝpplus from
+        # the RAW P̂ rows into per-plane scratch (GP) under the splice-
+        # precedence kill masks — whole-array plane slices are the
+        # Mosaic cliff (MEGA_NOTES.md), 8-row slab extractions are fast
         def masked_rows(r, n):
             gxr = r + _iota((n, 1, 1), 0)
             m = (gxr >= ilo[0]) & (gxr <= ihi[0]) & yz_m
             return jnp.where(m, P[pl.ds(r, n)], 0.0)
 
+        lz2 = _iota((1, Z), 1)
+        keep_yz2 = (lz2 != blo[2]) & (lz2 != bhi[2])
+
         def slab(j, _):
             r = pl.multiple_of(j * XT, XT)
-            c = masked_rows(r, XT)
+            raw = P[pl.ds(r, XT)]
+            gxr = r + _iota((XT, 1, 1), 0)
+            m = (gxr >= ilo[0]) & (gxr <= ihi[0]) & yz_m
+            c = jnp.where(m, raw, 0.0)
             up_row = jnp.where(j == 0, jnp.zeros((1, Y, Z), c.dtype),
                                masked_rows(jnp.maximum(r - 1, 0), 1))
             dn_row = jnp.where(j == nb - 1, jnp.zeros((1, Y, Z), c.dtype),
@@ -608,26 +618,33 @@ class _MegaBwdKernel:
             acc = acc + jnp.concatenate([c[:, :, 1:], zz], axis=2)
             Qs = Q.at[pl.ds(r, XT)]
             Qs[...] = Q[pl.ds(r, XT)] + COURANT_SQ * acc
+
+            # ĝpplus extraction (x rows at blo/bhi excluded for y/z
+            # planes; z-edge lanes excluded for y planes)
+            kx = (gxr[:, :, 0] != blo[0]) & (gxr[:, :, 0] != bhi[0])
+            GP[2][pl.ds(r, XT), :Z] = jnp.where(
+                kx & keep_yz2, raw[:, blo[1], :], 0.0)
+            GP[3][pl.ds(r, XT), :Z] = jnp.where(
+                kx & keep_yz2, raw[:, bhi[1], :], 0.0)
+            GP[4][pl.ds(r, XT), :Y] = jnp.where(kx, raw[:, :, blo[2]],
+                                                0.0)
+            GP[5][pl.ds(r, XT), :Y] = jnp.where(kx, raw[:, :, bhi[2]],
+                                                0.0)
+
+            @pl.when(j == blo[0] // XT)
+            def _():
+                GP[0][:Y, :Z] = raw[blo[0] % XT]
+
+            @pl.when(j == bhi[0] // XT)
+            def _():
+                GP[1][:Y, :Z] = raw[bhi[0] % XT]
             return 0
 
         jax.lax.fori_loop(0, nb, slab, 0)
 
-        # 2. boundary-plane cotangents from P̂ under splice precedence
-        # (x planes final writers; z over y on shared lines)
-        ix_x = _iota((X, 1), 0)
-        keep_x = (ix_x != blo[0]) & (ix_x != bhi[0])
-        lz = _iota((1, Z), 1)
-        ly = _iota((1, Y), 1)
-        keep_yz = (lz != blo[2]) & (lz != bhi[2])
-        gp = [
-            P[blo[0]], P[bhi[0]],
-            jnp.where(keep_x & keep_yz, P[:, blo[1], :], 0.0),
-            jnp.where(keep_x & keep_yz, P[:, bhi[1], :], 0.0),
-            jnp.where(keep_x & jnp.full((1, Y), True),
-                      P[:, :, blo[2]], 0.0),
-            jnp.where(keep_x & jnp.full((1, Y), True),
-                      P[:, :, bhi[2]], 0.0),
-        ]
+        # 2. boundary-plane cotangents now sit in GP scratch
+        shp = [spec.plane_shape(pi) for pi in range(6)]
+        gp = [GP[pi][:shp[pi][0], :shp[pi][1]] for pi in range(6)]
 
         # 3. plane-step VJP at the saved residuals
         pl6 = tuple(RSTG[0, pi, :U, :V] for pi, (U, V) in enumerate(
@@ -660,41 +677,86 @@ class _MegaBwdKernel:
             for j in range(self.order):
                 GSTS[j, pi, :U, :V] = gst6[pi][j]
 
-        # 4. scatter ĝpl/ĝin into Q̂ (contributions to ĝF_t at plane and
-        # inner coords; overlapping lines accumulate)
-        def add_plane(buf, axis, coord, val):
-            if axis == 0:
-                buf[coord] = buf[coord] + val
-            elif axis == 1:
-                buf[:, coord, :] = buf[:, coord, :] + val
-            else:
-                buf[:, :, coord] = buf[:, :, coord] + val
+        # 4. stage ĝpl/ĝin/ĝprev into per-plane scratch so the scatter
+        # pass below can read them at dynamic slab rows (dynamic_slice of
+        # VALUES is not lowerable in Mosaic; dynamic ref rows are)
+        for pi in range(6):
+            U, V = shp[pi]
+            GPL[pi][:U, :V] = gpl6[pi]
+            GIN[pi][:U, :V] = gin6[pi]
+            GPV[pi][:U, :V] = gprev6[pi]
 
-        for pi, (a, side) in enumerate(PLANES):
-            pc = blo[a] if side == 0 else bhi[a]
-            pci = ilo[a] if side == 0 else ihi[a]
-            add_plane(Q, a, pc, gpl6[pi])
-            add_plane(Q, a, pci, gin6[pi])
+        # 5. fused pass: P̂ ← −(M ⊙ P̂) + ĝprev at plane rows;
+        # Q̂ += ĝpl/ĝin at plane/inner rows — all slab-wise
+        def scatter(j, _):
+            r = pl.multiple_of(j * XT, XT)
+            Ps = P.at[pl.ds(r, XT)]
+            Ps[...] = -masked_rows(r, XT)
+            # ĝprev lands at boundary-plane coords (−M·P̂ is zero there;
+            # shared edge lines accumulate across the plane loop)
+            Ps[:, blo[1], :] = P[pl.ds(r, XT), blo[1], :] \
+                + GPV[2][pl.ds(r, XT), :Z]
+            Ps[:, bhi[1], :] = P[pl.ds(r, XT), bhi[1], :] \
+                + GPV[3][pl.ds(r, XT), :Z]
+            lz3 = _iota((1, 1, Z), 2)
+            Ps[...] = jnp.where(
+                lz3 == blo[2],
+                P[pl.ds(r, XT)] + GPV[4][pl.ds(r, XT), :Y][:, :, None],
+                P[pl.ds(r, XT)])
+            Ps[...] = jnp.where(
+                lz3 == bhi[2],
+                P[pl.ds(r, XT)] + GPV[5][pl.ds(r, XT), :Y][:, :, None],
+                P[pl.ds(r, XT)])
 
-        # 5. receiver-tap cotangents into Q̂ (static rows)
+            # Q̂ scatters: boundary (gpl) + inner (gin) y/z planes
+            Qs = Q.at[pl.ds(r, XT)]
+            Qs[:, blo[1], :] = Q[pl.ds(r, XT), blo[1], :] \
+                + GPL[2][pl.ds(r, XT), :Z]
+            Qs[:, bhi[1], :] = Q[pl.ds(r, XT), bhi[1], :] \
+                + GPL[3][pl.ds(r, XT), :Z]
+            Qs[:, ilo[1], :] = Q[pl.ds(r, XT), ilo[1], :] \
+                + GIN[2][pl.ds(r, XT), :Z]
+            Qs[:, ihi[1], :] = Q[pl.ds(r, XT), ihi[1], :] \
+                + GIN[3][pl.ds(r, XT), :Z]
+            Qs[...] = jnp.where(
+                lz3 == blo[2],
+                Q[pl.ds(r, XT)] + GPL[4][pl.ds(r, XT), :Y][:, :, None],
+                Q[pl.ds(r, XT)])
+            Qs[...] = jnp.where(
+                lz3 == bhi[2],
+                Q[pl.ds(r, XT)] + GPL[5][pl.ds(r, XT), :Y][:, :, None],
+                Q[pl.ds(r, XT)])
+            Qs[...] = jnp.where(
+                lz3 == ilo[2],
+                Q[pl.ds(r, XT)] + GIN[4][pl.ds(r, XT), :Y][:, :, None],
+                Q[pl.ds(r, XT)])
+            Qs[...] = jnp.where(
+                lz3 == ihi[2],
+                Q[pl.ds(r, XT)] + GIN[5][pl.ds(r, XT), :Y][:, :, None],
+                Q[pl.ds(r, XT)])
+            return 0
+
+        jax.lax.fori_loop(0, nb, scatter, 0)
+        # x planes: static global rows
+        P[blo[0]:blo[0] + 1] = P[blo[0]:blo[0] + 1] \
+            + GPV[0][:Y, :Z][None]
+        P[bhi[0]:bhi[0] + 1] = P[bhi[0]:bhi[0] + 1] \
+            + GPV[1][:Y, :Z][None]
+        Q[blo[0]:blo[0] + 1] = Q[blo[0]:blo[0] + 1] \
+            + GPL[0][:Y, :Z][None]
+        Q[bhi[0]:bhi[0] + 1] = Q[bhi[0]:bhi[0] + 1] \
+            + GPL[1][:Y, :Z][None]
+        Q[ilo[0]:ilo[0] + 1] = Q[ilo[0]:ilo[0] + 1] \
+            + GIN[0][:Y, :Z][None]
+        Q[ihi[0]:ihi[0] + 1] = Q[ihi[0]:ihi[0] + 1] \
+            + GIN[1][:Y, :Z][None]
+
+        # 6. receiver-tap cotangents into Q̂ (static rows)
         lane = _iota((1, 1, Z), 2)
         for j, (tx, ty, tz) in enumerate(self.taps):
             trow = Q[tx:tx + 1, ty:ty + 1, :]
             Q[tx:tx + 1, ty:ty + 1, :] = \
                 trow + jnp.where(lane == tz, gtaps[t, j], 0.0)
-
-        # 6. P̂ ← −(M ⊙ P̂) in place (second pass so step 1's neighbour
-        # reads saw the untouched buffer), then ĝprev at plane coords
-        def negmask(j, _):
-            r = pl.multiple_of(j * XT, XT)
-            Ps = P.at[pl.ds(r, XT)]
-            Ps[...] = -masked_rows(r, XT)
-            return 0
-
-        jax.lax.fori_loop(0, nb, negmask, 0)
-        for pi, (a, side) in enumerate(PLANES):
-            pc = blo[a] if side == 0 else bhi[a]
-            add_plane(P, a, pc, gprev6[pi])
 
         # 7. source-signal cotangent; hard source blocks flow through F̃
         sx, sy, sz, mode = self.src
@@ -709,7 +771,11 @@ class _MegaBwdKernel:
     def kernel(self, fb_ref, fa_ref,
                gtaps_ref, res_hbm, gnext_hbm, gcur_hbm, gst_hbm,
                gnext_out, gcur_out, gst_out, gfb_out, gfa_out, gsig_out,
-               P, Q, GSTS, RSTG, sems):
+               P, Q, GSTS, RSTG, *rest):
+        planes = rest[:-1]
+        sems = rest[-1]
+        GP, GPL, GIN, GPV = (tuple(planes[0:6]), tuple(planes[6:12]),
+                             tuple(planes[12:18]), tuple(planes[18:24]))
         copies = [
             pltpu.make_async_copy(gnext_hbm, P, sems.at[0]),
             pltpu.make_async_copy(gcur_hbm, Q, sems.at[1]),
@@ -724,10 +790,10 @@ class _MegaBwdKernel:
 
         def two(i, gth):
             t1 = self.K - 1 - 2 * i
-            gth = self._substep(P, Q, GSTS, fbv, fav,
+            gth = self._substep(P, Q, GSTS, GP, GPL, GIN, GPV, fbv, fav,
                                 gtaps_ref, gsig_out, t1, res_hbm, RSTG,
                                 sems.at[3], gth)
-            gth = self._substep(Q, P, GSTS, fbv, fav,
+            gth = self._substep(Q, P, GSTS, GP, GPL, GIN, GPV, fbv, fav,
                                 gtaps_ref, gsig_out, t1 - 1, res_hbm,
                                 RSTG, sems.at[3], gth)
             return gth
@@ -820,6 +886,8 @@ def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int, src,
             pltpu.VMEM((X, Y, Z), jnp.float32),
             pltpu.VMEM((order, 6, Umax, Vmax), jnp.float32),
             pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32),
+        ] + [pltpu.VMEM((Umax, Vmax), jnp.float32)
+             for _ in range(24)] + [
             pltpu.SemaphoreType.DMA((4,)),
         ],
         input_output_aliases={4: 0, 5: 1, 6: 2},
