@@ -168,7 +168,10 @@ def bench_waveguide_mega(platform):
     from wayverb_tpu.waveguide.receivers import NodeReceiver
     from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
 
-    side = (128, 128, 256)
+    # grad shape: the restructured backward kernel's scratch set exceeds
+    # VMEM by ~6 MB at 224^3 (MEGA_NOTES.md lists the shave path); this
+    # is the largest production shape whose full adjoint pipeline fits
+    side = (160, 192, 256)
     steps = 1024
     fs = 3333.33
     dx = grid_spacing(340.0, 1.0 / fs)
@@ -196,7 +199,7 @@ def bench_waveguide_mega(platform):
 
     dt_f, _ = _time_scalar_fn(forward)
 
-    bwd_steps = 768
+    bwd_steps = 640
     grad_src = HardSource(node_idx=source.node_idx,
                           signal=impulse_signal(bwd_steps, 1.0))
     f = mega_canonical_loss_fn(mesh.structure, mesh.box_spec, grad_src,
