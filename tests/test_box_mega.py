@@ -118,6 +118,39 @@ class TestMegaParity:
                                    np.asarray(mega["outputs"]), atol=2e-5)
 
 
+class TestInnerPlaneSource:
+    @pytest.mark.parametrize("axis", [0, 1, 2])
+    @pytest.mark.parametrize("side", [0, 1])
+    def test_source_on_inner_plane(self, small_mesh, axis, side):
+        """A source sitting ON an inner boundary plane must be mirrored
+        into the carried plane scratch (_patch_ins).  Regression: the z
+        planes have V = Y < Vmax and a full-width scratch read broadcast
+        against the V-wide lane mask, crashing at trace time (ADVICE r4,
+        medium)."""
+        _, mesh = small_mesh
+        desc = mesh.descriptor
+        spec = mesh.box_spec
+        steps = 10
+        loc = [(spec.ilo[a] + spec.ihi[a]) // 2 for a in range(3)]
+        loc[axis] = spec.ilo[axis] if side == 0 else spec.ihi[axis]
+        rcv = [(spec.ilo[a] + spec.ihi[a]) // 2 for a in range(3)]
+        rcv[2] += 2
+        source = SoftSource(
+            node_idx=jnp.asarray(desc.flat_index(tuple(loc)),
+                                 dtype=jnp.int32),
+            signal=impulse_signal(steps, 1.5))
+        receiver = NodeReceiver(
+            node_idx=jnp.asarray(desc.flat_index(tuple(rcv)),
+                                 dtype=jnp.int32))
+        ref = wgrun.run_waveguide_box(mesh.structure, mesh.box_spec,
+                                      source, receiver, steps)
+        mega = run_waveguide_box_mega(mesh.structure, mesh.box_spec,
+                                      source, receiver, steps, chunk=4,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(ref["outputs"]),
+                                   np.asarray(mega["outputs"]), atol=2e-5)
+
+
 class TestMegaGradients:
     def test_gradients_match_fused_path(self, small_mesh):
         """coef_b / coef_a / signal grads through the chunk custom VJP

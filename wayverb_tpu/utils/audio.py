@@ -164,7 +164,10 @@ def read_aiff(path: str) -> Tuple[np.ndarray, float]:
                 channels, _, bits = struct.unpack(">hIh", chunk[:8])
                 rate = _read_f80(chunk[8:18])
             elif cid == b"SSND":
-                data = chunk[8:]
+                # honour the SSND offset field — sample data legally
+                # starts `offset` bytes past the 8-byte chunk header
+                offset = struct.unpack(">I", chunk[:4])[0]
+                data = chunk[8 + offset:]
         if data is None or channels is None:
             raise ValueError(f"{path}: missing COMM/SSND chunk")
 

@@ -324,9 +324,12 @@ class _MegaKernel:
             u, v = src_xyz[a1], src_xyz[a2]
             V = spec.plane_shape(pi)[1]
             lane_v = _iota((1, V), 1)
-            row = INS[pi][u:u + 1, :]
+            # Slice the ACTIVE region only: INS rows are padded to Vmax
+            # (DMA lane alignment), and a full-width read would broadcast
+            # against the V-wide lane mask (crash for z-planes, V < Vmax).
+            row = INS[pi][u:u + 1, :V]
             patched = sig_t if mode == 1 else row + sig_t
-            INS[pi][u:u + 1, :] = jnp.where(lane_v == v, patched, row)
+            INS[pi][u:u + 1, :V] = jnp.where(lane_v == v, patched, row)
 
     # -- one leapfrog sub-step ------------------------------------------
     def _substep(self, A, B, STS, PL, INS, PRVP, fb, fa, sig_t, taps_out,
@@ -907,10 +910,12 @@ def mega_vmem_bytes(spec: BoxSpec, order: int) -> int:
 
 
 def mega_supported(spec: Optional[BoxSpec], source, receiver,
-                   dtype=jnp.float32, state_dtype=None) -> bool:
+                   dtype=jnp.float32, state_dtype=None,
+                   filter_order: int = 6) -> bool:
     """Mega-path eligibility: TPU backend, f32 field+state, a kernel-
     injectable point source, a replayable receiver, tile-aligned dims and
-    the VMEM capacity bound."""
+    the VMEM capacity bound (checked at the ACTUAL filter order so the
+    capacity test matches the kernel that would be built)."""
     if spec is None or jax.default_backend() not in ("tpu", "axon"):
         return False
     if dtype not in (jnp.float32, np.float32):
@@ -925,7 +930,7 @@ def mega_supported(spec: Optional[BoxSpec], source, receiver,
     X, Y, Z = spec.dims
     if X % XT or Y % 8 or Z % 128:
         return False
-    return mega_vmem_bytes(spec, 6) <= VMEM_BUDGET
+    return mega_vmem_bytes(spec, filter_order) <= VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------

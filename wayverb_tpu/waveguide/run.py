@@ -313,10 +313,13 @@ def execute(mesh: Mesh, source, receiver, num_steps: int,
     the streaming fused path); everything else falls through to the
     round-3 paths unchanged.
     """
-    if mesh.box_spec is not None:
+    if mesh.box_spec is not None and kernel_inject:
         from wayverb_tpu.waveguide.box_mega import (mega_supported,
                                                     run_waveguide_box_mega)
-        if mega_supported(mesh.box_spec, source, receiver, dtype):
+        # kernel_inject=False is the documented escape hatch back to the
+        # XLA-injection path (exact signal-gradient semantics) — honour it.
+        if mega_supported(mesh.box_spec, source, receiver, dtype,
+                          filter_order=mesh.structure.filter_order):
             return run_waveguide_box_mega(
                 mesh.structure, mesh.box_spec, source, receiver, num_steps,
                 dtype=dtype)
