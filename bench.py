@@ -166,10 +166,9 @@ def bench_waveguide_mega(platform):
     from wayverb_tpu.waveguide.receivers import NodeReceiver
     from wayverb_tpu.waveguide.sources import HardSource, impulse_signal
 
-    # grad shape: the restructured backward kernel's scratch set exceeds
-    # VMEM by ~6 MB at 224^3 (MEGA_NOTES.md lists the shave path); this
-    # is the largest production shape whose full adjoint pipeline fits
-    side = (160, 192, 256)
+    # r5: the per-plane zero-primal pullbacks + XLA θ-grad phase fit the
+    # full adjoint pipeline at the flagship shape (MEGA_NOTES.md)
+    side = (224, 224, 256)
     steps = 1024
     fs = 3333.33
     dx = grid_spacing(340.0, 1.0 / fs)

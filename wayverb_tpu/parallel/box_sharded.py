@@ -178,6 +178,93 @@ def yz_line_contrib(spec, st_yz, off, xl):
                       for q in range(4)])
 
 
+def _plane_rows_update(spec, pi, u, v, pl_p, s_um, s_up, in_p, prev_p,
+                       st_src, st_x, lines_yz, yz_col, fb, fa):
+    """One plane's update on an arbitrary row block at explicit global
+    coordinates (the shared core of the full sharded plane step AND the
+    post-halo edge-row recompute — one source of truth for the physics).
+
+    ``u``/``v``: global in-plane coordinate grids (broadcastable to the
+    row block); ``pl_p``/``in_p``/``prev_p``: (R, V) pressures;
+    ``s_um``/``s_up``: (R, V) pre-shifted u-neighbour pressures (halo
+    handling is the CALLER's); ``st_src``: (order, R, V) DF2T state;
+    ``st_x``: (2, Y, Z) x-plane m₀ pair (zero off the owner shards);
+    ``lines_yz``: the (4, 2, Vmax) y/z m₀ lines at the x ends (x planes
+    only); ``yz_col(qi, pc) -> (R,)``: opposite-type y/z plane m₀ column
+    at this plane's own coordinate.
+
+    Same equations as box_mega.plane_step_one (program.cpp:331-388 +
+    canonical DF2T).  Returns ``(new_p, newst)``.
+    """
+    X, Y, Z = spec.dims
+    a, side = PLANES[pi]
+    a1, a2 = _other_axes(a)
+    order = st_src.shape[0]
+    blo = tuple(spec.ilo[x] - 1 for x in range(3))
+    bhi = tuple(spec.ihi[x] + 1 for x in range(3))
+    b0 = [fb[p, 0] for p in range(6)]
+    a0 = [fa[p, 0] for p in range(6)]
+    Vq = {2: Z, 3: Z, 4: Y, 5: Y}
+    pc = blo[a] if side == 0 else bhi[a]
+    m0 = st_src[0]
+
+    act = ((u >= blo[a1]) & (u <= bhi[a1]) &
+           (v >= blo[a2]) & (v <= bhi[a2])).astype(pl_p.dtype)
+    w_um = jnp.where(u == blo[a1], 0.0,
+                     jnp.where(u == bhi[a1], 2.0, 1.0))
+    w_up = jnp.where(u == blo[a1], 2.0,
+                     jnp.where(u == bhi[a1], 0.0, 1.0))
+    w_vm = jnp.where(v == blo[a2], 0.0,
+                     jnp.where(v == bhi[a2], 2.0, 1.0))
+    w_vp = jnp.where(v == blo[a2], 2.0,
+                     jnp.where(v == bhi[a2], 0.0, 1.0))
+
+    csw = COURANT_SQ * (2.0 * in_p
+                        + w_um * s_um + w_up * s_up
+                        + w_vm * _shift_v(pl_p, -1)
+                        + w_vp * _shift_v(pl_p, +1))
+
+    fw = m0 / b0[pi]
+    cw = jnp.zeros_like(m0) + a0[pi] / b0[pi]
+    for edge_axis, on_rows in ((a1, True), (a2, False)):
+        for s2 in (0, 1):
+            qi = PLANES.index((edge_axis, s2))
+            qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
+            qa = _other_axes(edge_axis)
+            if qi < 2:
+                m0q = st_x[qi]
+                raw = m0q[pc, :] if a == qa[0] else m0q[:, pc]
+            elif a == 0:
+                # x plane pi coupling to y/z plane qi: the m0 row at
+                # x = pc lives on the owner shard — over qi's v axis
+                # (== pi's matching in-plane axis)
+                raw = lines_yz[qi - 2, side, :Vq[qi]]
+            else:
+                # y/z ↔ y/z coupling: column over local u rows
+                raw = yz_col(qi, pc)
+            if on_rows:
+                mask = (u == qc).astype(pl_p.dtype)
+                line = raw[None, :]
+            else:
+                mask = (v == qc).astype(pl_p.dtype)
+                line = raw[:, None]
+            fw = fw + mask * (line / b0[qi])
+            cw = cw + mask * (a0[qi] / b0[qi])
+    cw = COURANT * cw
+
+    new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_p) \
+        / (1.0 + cw)
+    delta = prev_p - new_p
+    filt_in = -((a0[pi] * delta) / (b0[pi] * COURANT) + m0 / b0[pi])
+    out = (filt_in * b0[pi] + m0) / a0[pi]
+
+    slots = [(st_src[j + 1] if j + 1 < order
+              else jnp.zeros_like(filt_in))
+             + fb[pi, j + 1] * filt_in - fa[pi, j + 1] * out
+             for j in range(order)]
+    return new_p, jnp.stack(slots)
+
+
 def plane_step_sharded(spec, off, xl,
                        pl_x, in_x, prev_x, st_x,
                        pl_yz, in_yz, prev_yz, st_yz,
@@ -190,116 +277,128 @@ def plane_step_sharded(spec, off, xl,
     (order, 4, xl, Vmax); ``halo_lo``/``halo_hi``: (4, 1, Vmax) neighbour
     rows of ``pl_yz`` for the in-plane u shift.
 
-    Same equations as box_mega.plane_step_natural (program.cpp:331-388 +
+    Same equations as box_mega.plane_step_one (program.cpp:331-388 +
     canonical DF2T), with the cross-plane coupling lines routed per the
     sharded layout: x-plane m₀ lines are replicated; y/z m₀ rows at the
-    two x-end coordinates arrive via one small psum; y/z↔y/z column
-    lines are row-local.
+    two x-end coordinates live on the x-end owner shards; y/z↔y/z
+    column lines are row-local.
     """
     X, Y, Z = spec.dims
-    order = st_x.shape[0]
-    blo = tuple(spec.ilo[a] - 1 for a in range(3))
-    bhi = tuple(spec.ihi[a] + 1 for a in range(3))
-    b0 = [fb[p, 0] for p in range(6)]
-    a0 = [fa[p, 0] for p in range(6)]
     Vmax = pl_yz.shape[-1]
-    Vq = {2: Z, 3: Z, 4: Y, 5: Y}
 
     pplus_x, newst_x = [], []
     pplus_yz, newst_yz = [], []
 
     for pi, (a, side) in enumerate(PLANES):
-        a1, a2 = _other_axes(a)
         U, V = spec.plane_shape(pi)
-        pc = blo[a] if side == 0 else bhi[a]
         if pi < 2:
             pl_p, in_p, prev_p = pl_x[pi], in_x[pi], prev_x[pi]
-            m0 = st_x[0, pi]
+            st_src = st_x[:, pi]
             u = jax.lax.broadcasted_iota(jnp.int32, (U, V), 0)
+            v = jax.lax.broadcasted_iota(jnp.int32, (U, V), 1)
+            s_um = _shift_rows_full(pl_p, -1)
+            s_up = _shift_rows_full(pl_p, +1)
+            yz_col = None
         else:
             q = pi - 2
             pl_p = pl_yz[q, :, :V]
             in_p = in_yz[q, :, :V]
             prev_p = prev_yz[q, :, :V]
-            m0 = st_yz[0, q, :, :V]
+            st_src = st_yz[:, q, :, :V]
             u = off + jax.lax.broadcasted_iota(jnp.int32, (xl, V), 0)
-        v = jax.lax.broadcasted_iota(jnp.int32, m0.shape, 1)
-
-        act = ((u >= blo[a1]) & (u <= bhi[a1]) &
-               (v >= blo[a2]) & (v <= bhi[a2])).astype(pl_p.dtype)
-        w_um = jnp.where(u == blo[a1], 0.0,
-                         jnp.where(u == bhi[a1], 2.0, 1.0))
-        w_up = jnp.where(u == blo[a1], 2.0,
-                         jnp.where(u == bhi[a1], 0.0, 1.0))
-        w_vm = jnp.where(v == blo[a2], 0.0,
-                         jnp.where(v == bhi[a2], 2.0, 1.0))
-        w_vp = jnp.where(v == blo[a2], 2.0,
-                         jnp.where(v == bhi[a2], 0.0, 1.0))
-
-        if pi < 2:
-            s_um = _shift_rows_full(pl_p, -1)
-            s_up = _shift_rows_full(pl_p, +1)
-        else:
+            v = jax.lax.broadcasted_iota(jnp.int32, (xl, V), 1)
             s_um = _shift_u(pl_p, halo_lo[q, :, :V], halo_hi[q, :, :V],
                             -1)
             s_up = _shift_u(pl_p, halo_lo[q, :, :V], halo_hi[q, :, :V],
                             +1)
-        csw = COURANT_SQ * (2.0 * in_p
-                            + w_um * s_um + w_up * s_up
-                            + w_vm * _shift_v(pl_p, -1)
-                            + w_vp * _shift_v(pl_p, +1))
+            yz_col = lambda qi, pc: st_yz[0, qi - 2, :, pc]  # noqa: E731
 
-        fw = m0 / b0[pi]
-        cw = jnp.zeros_like(m0) + a0[pi] / b0[pi]
-        for edge_axis, on_rows in ((a1, True), (a2, False)):
-            for s2 in (0, 1):
-                qi = PLANES.index((edge_axis, s2))
-                qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
-                qa = _other_axes(edge_axis)
-                if qi < 2:
-                    m0q = st_x[0, qi]
-                    raw = m0q[pc, :] if a == qa[0] else m0q[:, pc]
-                elif a == 0:
-                    # x plane pi coupling to y/z plane qi: the m0 row at
-                    # x = pc lives on the owner shard — psum'd line, over
-                    # qi's v axis (== pi's matching in-plane axis)
-                    raw = lines_yz[qi - 2, side, :Vq[qi]]
-                else:
-                    # y/z ↔ y/z coupling: column over local u rows
-                    raw = st_yz[0, qi - 2, :, pc]
-                if on_rows:
-                    mask = (u == qc).astype(pl_p.dtype)
-                    line = raw[None, :]
-                else:
-                    mask = (v == qc).astype(pl_p.dtype)
-                    line = raw[:, None]
-                fw = fw + mask * (line / b0[qi])
-                cw = cw + mask * (a0[qi] / b0[qi])
-        cw = COURANT * cw
+        new_p, newst = _plane_rows_update(
+            spec, pi, u, v, pl_p, s_um, s_up, in_p, prev_p, st_src,
+            st_x[0], lines_yz, yz_col, fb, fa)
 
-        new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_p) \
-            / (1.0 + cw)
-        delta = prev_p - new_p
-        filt_in = -((a0[pi] * delta) / (b0[pi] * COURANT) + m0 / b0[pi])
-        out = (filt_in * b0[pi] + m0) / a0[pi]
-
-        if pi < 2:
-            st_src = st_x[:, pi]
-        else:
-            st_src = st_yz[:, pi - 2, :, :V]
-        slots = [(st_src[j + 1] if j + 1 < order
-                  else jnp.zeros_like(filt_in))
-                 + fb[pi, j + 1] * filt_in - fa[pi, j + 1] * out
-                 for j in range(order)]
         if pi < 2:
             pplus_x.append(new_p)
-            newst_x.append(jnp.stack(slots))
+            newst_x.append(newst)
         else:
             pplus_yz.append(jnp.pad(new_p, ((0, 0), (0, Vmax - V))))
-            newst_yz.append(jnp.pad(jnp.stack(slots), ((0, 0), (0, 0),
-                                                       (0, Vmax - V))))
+            newst_yz.append(jnp.pad(newst, ((0, 0), (0, 0),
+                                            (0, Vmax - V))))
     return (jnp.stack(pplus_x), jnp.stack(newst_x, axis=1),
             jnp.stack(pplus_yz), jnp.stack(newst_yz, axis=1))
+
+
+def yz_edge_rows_fix(spec, off, xl, pl_yz, in_yz, prev_yz, st_yz, st_x0,
+                     ph_lo, ph_hi, fb, fa):
+    """Recompute the four y/z planes' SHARD-EDGE rows (local u = 0 and
+    xl−1) with the REAL neighbour halo rows.
+
+    The overlapped step computes the full plane block with ZERO u-halos
+    so it need not wait for the exchange; only these two rows read the
+    halo, and this helper redoes them through the same
+    :func:`_plane_rows_update` core once the ppermute lands.  Returns
+    ``(new_rows (4, 2, Vmax), newst_rows (order, 4, 2, Vmax))`` ordered
+    (row 0, row xl−1).
+
+    Requires the x-coupling masks to miss the edge rows, which holds
+    whenever ``off ∈ {0, xl, 2xl, …}`` can equal neither ``blo_x`` nor
+    ``bhi_x`` (checked statically by the caller via
+    :func:`overlap_supported`).
+    """
+    Y, Z = spec.dims[1], spec.dims[2]
+    Vmax = pl_yz.shape[-1]
+    order = st_yz.shape[0]
+    new_rows, newst_rows = [], []
+    for q in range(4):
+        pi = q + 2
+        V = Z if pi < 4 else Y
+        two = lambda arr: jnp.stack([arr[0], arr[xl - 1]])  # noqa: E731
+        pl_p = two(pl_yz[q])[:, :V]
+        in_p = two(in_yz[q])[:, :V]
+        prev_p = two(prev_yz[q])[:, :V]
+        st_src = jnp.stack([st_yz[:, q, 0, :V],
+                            st_yz[:, q, xl - 1, :V]], axis=1)
+        s_um = jnp.stack([ph_lo[q, 0, :V], pl_yz[q, xl - 2, :V]])
+        s_up = jnp.stack([pl_yz[q, 1, :V], ph_hi[q, 0, :V]])
+        u = jnp.stack([jnp.full((1,), off, jnp.int32),
+                       jnp.full((1,), off + xl - 1, jnp.int32)])
+        v = jax.lax.broadcasted_iota(jnp.int32, (2, V), 1)
+        yz_col = lambda qi, pc, q=q: jnp.stack(  # noqa: E731
+            [st_yz[0, qi - 2, 0, pc], st_yz[0, qi - 2, xl - 1, pc]])
+        new_p, newst = _plane_rows_update(
+            spec, pi, u, v, pl_p, s_um, s_up, in_p, prev_p, st_src,
+            st_x0, None, yz_col, fb, fa)
+        new_rows.append(jnp.pad(new_p, ((0, 0), (0, Vmax - V))))
+        newst_rows.append(jnp.pad(newst, ((0, 0), (0, 0),
+                                          (0, Vmax - V))))
+    return jnp.stack(new_rows), jnp.stack(newst_rows, axis=1)
+
+
+def overlap_supported(spec, xl: int) -> bool:
+    """Static eligibility for the overlapped (halo-hiding) step order.
+
+    The overlapped order computes the x planes and the field kernel
+    BEFORE the exchange completes, which requires (a) the x inner/
+    boundary planes to never straddle a shard boundary and (b) the
+    x-plane splice/coupling rows to never be shard-edge rows — all
+    decidable from the static geometry.  Standard descriptor alignment
+    (ilo = 2, xl a multiple of 8) always qualifies; padded grids whose
+    ihi+1 lands exactly on a shard boundary fall back to the serial
+    order.
+    """
+    ilo0, ihi0 = spec.ilo[0], spec.ihi[0]
+    blo0, bhi0 = ilo0 - 1, ihi0 + 1
+    if xl < 3:
+        return False
+    for coord in (ilo0, blo0):
+        if coord % xl == 0 and coord >= xl:      # straddle / own row 0
+            return False
+    for coord in (ihi0, bhi0):
+        if (coord + 1) % xl == 0:                # own row xl−1
+            return False
+        if coord % xl == 0 and coord >= xl:      # own row 0
+            return False
+    return True
 
 
 def _shift_rows_full(arr, delta):

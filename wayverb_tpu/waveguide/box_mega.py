@@ -28,13 +28,18 @@ afterwards at O(T·k) cost.
 **Differentiation** (w.r.t. face filter coefficients AND the source
 signal) is a hand-built chunk-level custom VJP.  The wave operator is
 self-adjoint, so the adjoint recursion is ANOTHER leapfrog with the same
-in-place two-buffer VMEM structure; the only nonlinearity is the
-coefficient dependence of the boundary-plane update, whose transpose the
-backward kernel obtains by ``jax.vjp``-ing the SAME pure-jnp plane
-function at per-step plane residuals (pl, in, prev, m0 — ~5.5 MB/step)
-that the grad-mode forward kernel streams to HBM.  Backward HBM traffic
-is therefore ~(4 fields / K) + residuals per step — the backward runs at
-the same VMEM-bound speed class as the forward.
+in-place two-buffer VMEM structure.  The boundary-plane transpose runs
+inside the backward kernel by ``jax.vjp``-ing the SAME pure-jnp plane
+function ONE PLANE AT A TIME at ZERO primals (the plane step is linear
+in every pressure/state input, so those cotangents are exact without
+residuals); the θ gradients — the only primal-dependent piece — are
+recovered OUTSIDE the kernel by differentiating the XLA-level inner
+product of the streamed output cotangents against the per-step plane
+residuals (pl, in, prev, m0 — ~5.5 MB/step) the grad-mode forward
+kernel streams to HBM.  This split is what fits the adjoint in VMEM at
+the flagship 224×224×256 (round 5); backward HBM traffic is
+~(4 fields / K) + residual/cotangent streams per step — the backward
+runs at the same VMEM-bound speed class as the forward.
 
 Capacity: 2·|field| + |state| + |plane scratch| must fit in ~119 MB of
 v5e VMEM (128 MB minus compiler slack) — ``mega_supported`` checks this;
@@ -123,103 +128,117 @@ import os as _os
 _MEGA_DEBUG = _os.environ.get("WAYVERB_MEGA_DEBUG", "")
 
 
-def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
-                       kernel: bool = True):
-    """The six boundary-plane updates on natural-shape arrays.
+def plane_step_one(spec: BoxSpec, pi: int, pl_p, in_p, prev_p, m0_6,
+                   st_hi, fb, fa, kernel: bool = True):
+    """ONE plane's boundary update on natural-shape arrays.
 
-    ``pl6``/``in6``/``prev6``: 6-tuples of (U_p, V_p) pressures at the
-    boundary / first-inside / previous-boundary planes; ``st6``: 6-tuple
-    of (order, U_p, V_p) DF2T ghost-point state; ``fb``/``fa``:
-    (6, order+1) per-face impedance filter coefficients.
+    ``pl_p``/``in_p``/``prev_p``: (U, V) pressures at plane ``pi``'s
+    boundary / first-inside / previous-boundary planes; ``m0_6``: 6-tuple
+    of every plane's first DF2T state slot (edge coupling reads the
+    neighbours'); ``st_hi``: plane ``pi``'s higher slots (order−1, U, V);
+    ``fb``/``fa``: (6, order+1) per-face impedance filter coefficients.
 
-    Returns ``(pplus6, newst6)``.  Pure jnp with Mosaic-lowerable ops
-    only, differentiable (``_shift2`` carries a custom VJP), linear in
-    all pressures/state — so its ``jax.vjp`` at a primal point with the
-    true m₀ but zeroed higher state slots yields EXACT cotangents (the
-    higher slots enter linearly with coefficient-independent weights).
+    Returns ``(new_p, newst)`` with ``newst`` (order, U, V).  Pure jnp
+    with Mosaic-lowerable ops only, differentiable (``_shift2`` carries a
+    custom VJP), linear in all pressures/state — so its ``jax.vjp`` at a
+    primal point with the true m₀ but zeroed higher slots yields EXACT
+    cotangents (the higher slots enter linearly with coefficient-
+    independent weights).  The backward kernel vjp-s this PER PLANE: one
+    plane's trace keeps ~6× less live scratch than the fused six-plane
+    function (the r4 backward's VMEM overflow at 224³, MEGA_NOTES.md).
 
     Parity: reference ``program.cpp:331-388`` boundary update +
     ``filters.cpp`` canonical DF2T ghost-point advance; oracle:
     box_fused.plane_boundary_step_stacked (tests/test_box_mega.py).
     """
-    order = st6[0].shape[0]
+    order = st_hi.shape[0] + 1
     blo = tuple(spec.ilo[a] - 1 for a in range(3))
     bhi = tuple(spec.ihi[a] + 1 for a in range(3))
     b0 = [fb[p, 0] for p in range(6)]
     a0 = [fa[p, 0] for p in range(6)]
 
+    a, side = PLANES[pi]
+    a1, a2 = _other_axes(a)
+    U, V = spec.plane_shape(pi)
+    pc = blo[a] if side == 0 else bhi[a]
+    m0 = m0_6[pi]
+
+    u = _iota((U, V), 0)
+    v = _iota((U, V), 1)
+    act = ((u >= blo[a1]) & (u <= bhi[a1]) &
+           (v >= blo[a2]) & (v <= bhi[a2])).astype(pl_p.dtype)
+    w_um = jnp.where(u == blo[a1], 0.0,
+                     jnp.where(u == bhi[a1], 2.0, 1.0))
+    w_up = jnp.where(u == blo[a1], 2.0,
+                     jnp.where(u == bhi[a1], 0.0, 1.0))
+    w_vm = jnp.where(v == blo[a2], 0.0,
+                     jnp.where(v == bhi[a2], 2.0, 1.0))
+    w_vp = jnp.where(v == blo[a2], 2.0,
+                     jnp.where(v == bhi[a2], 0.0, 1.0))
+
+    csw = COURANT_SQ * (2.0 * in_p
+                        + w_um * _shift2(pl_p, 0, -1, kernel)
+                        + w_up * _shift2(pl_p, 0, +1, kernel)
+                        + w_vm * _shift2(pl_p, 1, -1, kernel)
+                        + w_vp * _shift2(pl_p, 1, +1, kernel))
+
+    fw = m0 / b0[pi]
+    cw = jnp.full((U, V), a0[pi] / b0[pi])
+    # edge/corner coupling: nodes on this plane's in-plane box edges
+    # also belong to the neighbouring plane(s); the ghost closure sums
+    # each member plane's filter contribution
+    for edge_axis, on_rows in (
+            () if "nocouple" in _MEGA_DEBUG
+            else ((a1, True), (a2, False))):
+        for s2 in (0, 1):
+            q = PLANES.index((edge_axis, s2))
+            qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
+            qa = _other_axes(edge_axis)
+            # keep the coupling lines 2-D ((1, V) / (U, 1)) — 1-D
+            # vectors force Mosaic relayouts and blow up compile
+            line = (m0_6[q][pc:pc + 1, :] if a == qa[0]
+                    else m0_6[q][:, pc:pc + 1])
+            if on_rows:
+                mask = (u == qc).astype(pl_p.dtype)
+                if line.shape[0] != 1:
+                    line = line.T
+            else:
+                mask = (v == qc).astype(pl_p.dtype)
+                if line.shape[1] != 1:
+                    line = line.T
+            fw = fw + mask * (line / b0[q])
+            cw = cw + mask * (a0[q] / b0[q])
+    cw = COURANT * cw
+
+    new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_p) \
+        / (1.0 + cw)
+    delta = prev_p - new_p
+    filt_in = -((a0[pi] * delta) / (b0[pi] * COURANT) + m0 / b0[pi])
+    out = (filt_in * b0[pi] + m0) / a0[pi]
+
+    slots = []
+    for j in range(order):
+        if "nodf2t" in _MEGA_DEBUG:
+            slots.append(m0 if j == 0 else st_hi[j - 1])
+            continue
+        nxt = (st_hi[j] if j + 1 < order
+               else jnp.zeros((U, V), filt_in.dtype))
+        slots.append(nxt + fb[pi, j + 1] * filt_in
+                     - fa[pi, j + 1] * out)
+    return new_p, jnp.stack(slots, axis=0)
+
+
+def plane_step_natural(spec: BoxSpec, pl6, in6, prev6, st6, fb, fa,
+                       kernel: bool = True):
+    """The six boundary-plane updates on natural-shape arrays (wrapper
+    over :func:`plane_step_one`; see there for semantics/parity)."""
     pplus, newst = [], []
-    for pi, (a, side) in enumerate(PLANES):
-        a1, a2 = _other_axes(a)
-        U, V = spec.plane_shape(pi)
-        pc = blo[a] if side == 0 else bhi[a]
-        pl_p, in_p, prev_p = pl6[pi], in6[pi], prev6[pi]
-        m0 = st6[pi][0]
-
-        u = _iota((U, V), 0)
-        v = _iota((U, V), 1)
-        act = ((u >= blo[a1]) & (u <= bhi[a1]) &
-               (v >= blo[a2]) & (v <= bhi[a2])).astype(pl_p.dtype)
-        w_um = jnp.where(u == blo[a1], 0.0,
-                         jnp.where(u == bhi[a1], 2.0, 1.0))
-        w_up = jnp.where(u == blo[a1], 2.0,
-                         jnp.where(u == bhi[a1], 0.0, 1.0))
-        w_vm = jnp.where(v == blo[a2], 0.0,
-                         jnp.where(v == bhi[a2], 2.0, 1.0))
-        w_vp = jnp.where(v == blo[a2], 2.0,
-                         jnp.where(v == bhi[a2], 0.0, 1.0))
-
-        csw = COURANT_SQ * (2.0 * in_p
-                            + w_um * _shift2(pl_p, 0, -1, kernel)
-                            + w_up * _shift2(pl_p, 0, +1, kernel)
-                            + w_vm * _shift2(pl_p, 1, -1, kernel)
-                            + w_vp * _shift2(pl_p, 1, +1, kernel))
-
-        fw = m0 / b0[pi]
-        cw = jnp.full((U, V), a0[pi] / b0[pi])
-        # edge/corner coupling: nodes on this plane's in-plane box edges
-        # also belong to the neighbouring plane(s); the ghost closure sums
-        # each member plane's filter contribution
-        for edge_axis, on_rows in (
-                () if "nocouple" in _MEGA_DEBUG
-                else ((a1, True), (a2, False))):
-            for s2 in (0, 1):
-                q = PLANES.index((edge_axis, s2))
-                qc = blo[edge_axis] if s2 == 0 else bhi[edge_axis]
-                qa = _other_axes(edge_axis)
-                # keep the coupling lines 2-D ((1, V) / (U, 1)) — 1-D
-                # vectors force Mosaic relayouts and blow up compile
-                line = (st6[q][0, pc:pc + 1, :] if a == qa[0]
-                        else st6[q][0, :, pc:pc + 1])
-                if on_rows:
-                    mask = (u == qc).astype(pl_p.dtype)
-                    if line.shape[0] != 1:
-                        line = line.T
-                else:
-                    mask = (v == qc).astype(pl_p.dtype)
-                    if line.shape[1] != 1:
-                        line = line.T
-                fw = fw + mask * (line / b0[q])
-                cw = cw + mask * (a0[q] / b0[q])
-        cw = COURANT * cw
-
-        new_p = act * (csw + COURANT_SQ * fw + (cw - 1.0) * prev_p) \
-            / (1.0 + cw)
-        delta = prev_p - new_p
-        filt_in = -((a0[pi] * delta) / (b0[pi] * COURANT) + m0 / b0[pi])
-        out = (filt_in * b0[pi] + m0) / a0[pi]
-
-        slots = []
-        for j in range(order):
-            if "nodf2t" in _MEGA_DEBUG:
-                slots.append(st6[pi][j])
-                continue
-            nxt = (st6[pi][j + 1] if j + 1 < order
-                   else jnp.zeros((U, V), filt_in.dtype))
-            slots.append(nxt + fb[pi, j + 1] * filt_in
-                         - fa[pi, j + 1] * out)
+    m0_6 = tuple(st6[p][0] for p in range(6))
+    for pi in range(6):
+        new_p, ns = plane_step_one(spec, pi, pl6[pi], in6[pi], prev6[pi],
+                                   m0_6, st6[pi][1:], fb, fa, kernel)
         pplus.append(new_p)
-        newst.append(jnp.stack(slots, axis=0))
+        newst.append(ns)
     return tuple(pplus), tuple(newst)
 
 
@@ -333,7 +352,7 @@ class _MegaKernel:
 
     # -- one leapfrog sub-step ------------------------------------------
     def _substep(self, A, B, STS, PL, INS, PRVP, fb, fa, sig_t, taps_out,
-                 t, res_stage, res_hbm, res_sem):
+                 t, res_hbm, res_stage, sems):
         """B <- next field (in place over previous); writes the tap row
         and returns this sub-step's badness contribution."""
         spec = self.spec
@@ -366,40 +385,56 @@ class _MegaKernel:
         self._patch_ins(INS, sig_t)
         fbv, fav = fb[...], fa[...]
         shp = [spec.plane_shape(pi) for pi in range(6)]
-        pl6 = tuple(PL[pi][:shp[pi][0], :shp[pi][1]] for pi in range(6))
-        in6 = tuple(INS[pi][:shp[pi][0], :shp[pi][1]] for pi in range(6))
-        prev6 = tuple(PRVP[pi][:shp[pi][0], :shp[pi][1]]
-                      for pi in range(6))
-        st6 = self._read_st(STS)
 
         if self.grad:
-            # stage + stream (pl, in, prev, m0) for the backward kernel
+            # stream (pl, in, prev, m0) for the θ-gradient phase through
+            # ONE (6, Umax, Vmax) per-role staging buffer — the r4
+            # (4, 6, Umax, Vmax) monolith was 5.25 MB of scratch, and
+            # per-plane direct DMAs to the dynamically-indexed HBM
+            # target cost Mosaic a bounce allocation per transfer
+            # (measured: 19 direct DMAs regressed the capacity cliff
+            # from 224³ to 216³).  Serializing 4 role-sized DMAs through
+            # one reused buffer keeps both costs ~1.4 MB.
+            for role, refs in ((0, PL), (1, INS), (2, PRVP)):
+                for pi in range(6):
+                    res_stage[pi] = refs[pi][...]
+                cp = pltpu.make_async_copy(res_stage,
+                                           res_hbm.at[t, role],
+                                           sems.at[3])
+                cp.start()
+                cp.wait()
             for pi in range(6):
-                U, V = spec.plane_shape(pi)
-                res_stage[0, pi, :U, :V] = pl6[pi]
-                res_stage[1, pi, :U, :V] = in6[pi]
-                res_stage[2, pi, :U, :V] = prev6[pi]
-                res_stage[3, pi, :U, :V] = st6[pi][0]
-            cp = pltpu.make_async_copy(res_stage, res_hbm.at[t], res_sem)
+                res_stage[pi] = STS[0, pi]
+            cp = pltpu.make_async_copy(res_stage, res_hbm.at[t, 3],
+                                       sems.at[3])
             cp.start()
             cp.wait()
 
-        pplus, newst6 = plane_step_natural(spec, pl6, in6, prev6, st6,
-                                           fbv, fav)
-        for pi in range(6):
-            U, V = spec.plane_shape(pi)
-            for j in range(self.order):
-                STS[j, pi, :U, :V] = newst6[pi][j]
-
+        # ONE PLANE AT A TIME, results written back immediately — the
+        # whole-six-plane plane_step_natural trace kept ~6× the live
+        # intermediates and was part of the 224³ grad-mode VMEM
+        # overflow.  The m₀ planes are snapshotted up front (each
+        # plane's coupling reads its neighbours' OLD m₀), so the
+        # in-place STS writes per plane are safe; plane pi's own
+        # pl/in/prev reads happen before its PL/PRVP write-back.
+        m0_6 = tuple(STS[0, pi, :U, :V]
+                     for pi, (U, V) in enumerate(shp))
         bad = jnp.float32(0.0)
         for pi in range(6):
-            # PRVP <- old PL, then PL <- pplus: PL now holds this step's
+            U, V = shp[pi]
+            st_hi = jnp.stack([STS[j, pi, :U, :V]
+                               for j in range(1, self.order)])
+            new_p, newst = plane_step_one(
+                spec, pi, PL[pi][:U, :V], INS[pi][:U, :V],
+                PRVP[pi][:U, :V], m0_6, st_hi, fbv, fav)
+            for j in range(self.order):
+                STS[j, pi, :U, :V] = newst[j]
+            # PRVP <- old PL, then PL <- new_p: PL now holds this step's
             # computed boundary pressures (read below by the splices and
             # carried as next sub-step's boundary planes)
-            U, V = shp[pi]
             PRVP[pi][...] = PL[pi][...]
-            PL[pi][:U, :V] = pplus[pi]
-            bad = bad + (1.0 - jnp.isfinite(jnp.sum(pplus[pi]))
+            PL[pi][:U, :V] = new_p
+            bad = bad + (1.0 - jnp.isfinite(jnp.sum(new_p))
                          .astype(jnp.float32))
 
         # interior stencil + splices + slab-wise inner-plane extraction
@@ -485,12 +520,11 @@ class _MegaKernel:
                cur_hbm, prev_hbm, st_hbm, pln_hbm, *rest):
         if self.grad:
             (cur_out, prev_out, st_out, pln_out, taps_out, bad_out,
-             res_hbm, A, B, STS, *planes, RSTG, sems) = rest
-            res_sem = sems.at[3]
+             res_hbm, A, B, STS, *planes, res_stage, sems) = rest
         else:
             (cur_out, prev_out, st_out, pln_out, taps_out, bad_out,
              A, B, STS, *planes, sems) = rest
-            res_hbm = RSTG = res_sem = None
+            res_hbm = res_stage = None
         PL, INS, PRVP = (tuple(planes[0:6]), tuple(planes[6:12]),
                          tuple(planes[12:18]))
 
@@ -518,10 +552,10 @@ class _MegaKernel:
             t0 = 2 * i
             bad = bad + self._substep(A, B, STS, PL, INS, PRVP, fb_ref,
                                       fa_ref, sig_ref[t0], taps_out, t0,
-                                      RSTG, res_hbm, res_sem)
+                                      res_hbm, res_stage, sems)
             bad = bad + self._substep(B, A, STS, PL, INS, PRVP, fb_ref,
                                       fa_ref, sig_ref[t0 + 1], taps_out,
-                                      t0 + 1, RSTG, res_hbm, res_sem)
+                                      t0 + 1, res_hbm, res_stage, sems)
             return bad
 
         bad = jax.lax.fori_loop(0, self.K // 2, two, jnp.float32(0.0))
@@ -551,14 +585,21 @@ class _MegaBwdKernel:
 
       Q̂ += λ²·Σ₆shift(M ⊙ P̂)            (stencil transpose, slab loop)
       ĝpplus  = plane-coord extraction of P̂ under splice precedence
-      (ĝpl, ĝin, ĝprev, ĝst, ĝθ) = vjp(plane_step_natural)(ĝpplus, ĝst')
+      stream (ĝpplus, ĝst') to HBM       (for the XLA θ-gradient phase)
+      (ĝpl, ĝin, ĝprev, ĝst) = vjp(plane_step_one)(ĝpplus, ĝst') per plane
       Q̂[plane/inner coords] += ĝpl/ĝin;  Q̂[taps] += ĝtaps_t
       P̂ ← −(M ⊙ P̂);  P̂[plane coords] += ĝprev
       ĝsig_t = Q̂[src];  if hard: Q̂[src] ← 0;  swap(P̂, Q̂)
 
-    The plane-step VJP runs **inside the kernel** on the residuals the
-    grad-mode forward streamed to HBM — the wave-field part of the
-    adjoint needs no forward values at all (linearity).
+    ``plane_step_one`` is LINEAR in every pressure/state input, so the
+    in-kernel pullbacks run at ZERO primals — the kernel needs NO
+    forward residuals at all (round 5; this removed the 5.25 MB RSTG
+    staging plus the θ-product temps that overflowed VMEM at 224³).
+    The θ gradients (which DO need the residuals) are recovered OUTSIDE
+    the kernel by differentiating the inner product
+    ⟨(ĝpplus, ĝst'), plane_step_natural(residuals; θ)⟩ at the XLA level
+    against the residual stream the grad-mode forward already wrote —
+    exact by the vjp identity gθ = ∂θ⟨ĝ, f(x₀, θ)⟩.
     """
 
     def __init__(self, spec: BoxSpec, K: int, k: int, order: int,
@@ -568,20 +609,14 @@ class _MegaBwdKernel:
         self.taps = tuple(tuple(int(v) for v in t) for t in taps)
         self.Umax, self.Vmax = stacked_plane_shape(spec)
 
-    def _substep(self, P, Q, GSTS, GP, GPL, GIN, GPV, fbv, fav, gtaps,
-                 gsig_out, t, res_hbm, RSTG, res_sem, gth):
+    def _substep(self, P, Q, GSTS, GP, GPL, GIN, M0G, fbv, fav, gtaps,
+                 gsig_out, t, gp_stream, gstin_stream, sems):
         spec = self.spec
         X, Y, Z = spec.dims
         nb = X // XT
         ilo, ihi = spec.ilo, spec.ihi
         blo = tuple(v - 1 for v in ilo)
         bhi = tuple(v + 1 for v in ihi)
-        gfb, gfa = gth
-
-        # residuals for sub-step t
-        cp = pltpu.make_async_copy(res_hbm.at[t], RSTG, res_sem)
-        cp.start()
-        cp.wait()
 
         iy = _iota((1, Y, 1), 1)
         iz = _iota((1, 1, Z), 2)
@@ -645,74 +680,96 @@ class _MegaBwdKernel:
 
         jax.lax.fori_loop(0, nb, slab, 0)
 
-        # 2. boundary-plane cotangents now sit in GP scratch
+        # 2. stream this sub-step's output cotangents (ĝpplus in GP,
+        # ĝst' in GSTS) to HBM for the XLA θ-gradient phase, BEFORE the
+        # pullback loop overwrites them
+        copies = [pltpu.make_async_copy(GSTS, gstin_stream.at[t],
+                                        sems.at[3])]
+        for pi in range(6):
+            copies.append(pltpu.make_async_copy(
+                GP[pi], gp_stream.at[t, pi], sems.at[4 + pi]))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        # 3-4. plane-step VJP, ONE PLANE AT A TIME, at ZERO primals —
+        # plane_step_one is linear in all pressures/state, so the
+        # pressure/state cotangents are primal-independent and the
+        # kernel needs no forward residuals (the r4 whole-six-plane
+        # jax.vjp at true residuals kept ~17 MB of θ-product temps +
+        # 5.25 MB residual staging live — the 224³ VMEM overflow; the
+        # θ grads are recovered outside, see class docstring).  Staging:
+        # ĝpl→GPL, ĝin→GIN; ĝprev overwrites GP in place (each GP[pi]
+        # is dead once its own pullback consumed it); the ĝm₀
+        # cross-plane accumulation goes through M0G and lands in GSTS
+        # slot 0 after the loop (in-place would clobber gst_in[q] still
+        # unread), while the higher slots (a pure shift + nothing else
+        # reads them) write straight back per plane.  The scatter pass
+        # below reads staged refs at dynamic slab rows (dynamic_slice
+        # of VALUES is not lowerable in Mosaic; dynamic ref rows are).
         shp = [spec.plane_shape(pi) for pi in range(6)]
-        gp = [GP[pi][:shp[pi][0], :shp[pi][1]] for pi in range(6)]
-
-        # 3. plane-step VJP at the saved residuals
-        pl6 = tuple(RSTG[0, pi, :U, :V] for pi, (U, V) in enumerate(
-            spec.plane_shape(p) for p in range(6)))
-        in6 = tuple(RSTG[1, pi, :U, :V] for pi, (U, V) in enumerate(
-            spec.plane_shape(p) for p in range(6)))
-        prev6 = tuple(RSTG[2, pi, :U, :V] for pi, (U, V) in enumerate(
-            spec.plane_shape(p) for p in range(6)))
-        st_hat = []
-        for pi in range(6):
-            U, V = spec.plane_shape(pi)
-            m0 = RSTG[3, pi, :U, :V]
-            st_hat.append(jnp.concatenate(
-                [m0[None], jnp.zeros((self.order - 1, U, V), m0.dtype)],
-                axis=0))
-        gst_in = tuple(
-            jnp.stack([GSTS[j, pi, :U, :V] for j in range(self.order)])
-            for pi, (U, V) in enumerate(
-                spec.plane_shape(p) for p in range(6)))
-
-        _, pullback = jax.vjp(
-            functools.partial(plane_step_natural, spec),
-            pl6, in6, prev6, tuple(st_hat), fbv, fav)
-        gpl6, gin6, gprev6, gst6, gfb_c, gfa_c = pullback(
-            (tuple(gp), gst_in))
-        gfb = gfb + gfb_c
-        gfa = gfa + gfa_c
-        for pi in range(6):
-            U, V = spec.plane_shape(pi)
-            for j in range(self.order):
-                GSTS[j, pi, :U, :V] = gst6[pi][j]
-
-        # 4. stage ĝpl/ĝin/ĝprev into per-plane scratch so the scatter
-        # pass below can read them at dynamic slab rows (dynamic_slice of
-        # VALUES is not lowerable in Mosaic; dynamic ref rows are)
+        zero6 = tuple(jnp.zeros((U, V), jnp.float32) for U, V in shp)
         for pi in range(6):
             U, V = shp[pi]
-            GPL[pi][:U, :V] = gpl6[pi]
-            GIN[pi][:U, :V] = gin6[pi]
-            GPV[pi][:U, :V] = gprev6[pi]
+            M0G[pi][:U, :V] = jnp.zeros((U, V), jnp.float32)
+        for pi in range(6):
+            U, V = shp[pi]
+            gp_pi = GP[pi][:U, :V]
+            gst_in_pi = jnp.stack([GSTS[j, pi, :U, :V]
+                                   for j in range(self.order)])
+            _, pullback = jax.vjp(
+                functools.partial(plane_step_one, spec, pi),
+                zero6[pi], zero6[pi], zero6[pi], zero6,
+                jnp.zeros((self.order - 1, U, V), jnp.float32),
+                fbv, fav)
+            (gpl_pi, gin_pi, gprev_pi, gm0c, ghi, _,
+             _) = pullback((gp_pi, gst_in_pi))
+            GPL[pi][:U, :V] = gpl_pi
+            GIN[pi][:U, :V] = gin_pi
+            GP[pi][:U, :V] = gprev_pi
+            for j in range(self.order - 1):
+                GSTS[j + 1, pi, :U, :V] = ghi[j]
+            for q in range(6):
+                Uq, Vq = shp[q]
+                M0G[q][:Uq, :Vq] = M0G[q][:Uq, :Vq] + gm0c[q]
+        for pi in range(6):
+            U, V = shp[pi]
+            GSTS[0, pi, :U, :V] = M0G[pi][:U, :V]
 
         # 5. fused pass: P̂ ← −(M ⊙ P̂) + ĝprev at plane rows;
-        # Q̂ += ĝpl/ĝin at plane/inner rows — all slab-wise
+        # Q̂ += ĝpl/ĝin at plane/inner rows — all slab-wise.  The z-lane
+        # additions fold into ONE read-modify-write per field (the r4
+        # chain of per-plane jnp.where passes re-read/rewrote each slab
+        # 4×; shared edge lines still accumulate because the adds are
+        # independent lane selects summed BEFORE the single store).
         def scatter(j, _):
             r = pl.multiple_of(j * XT, XT)
+            lz3 = _iota((1, 1, Z), 2)
+            padd = jnp.where(
+                lz3 == blo[2], GP[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+            padd = padd + jnp.where(
+                lz3 == bhi[2], GP[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
             Ps = P.at[pl.ds(r, XT)]
-            Ps[...] = -masked_rows(r, XT)
+            Ps[...] = -masked_rows(r, XT) + padd
             # ĝprev lands at boundary-plane coords (−M·P̂ is zero there;
             # shared edge lines accumulate across the plane loop)
             Ps[:, blo[1], :] = P[pl.ds(r, XT), blo[1], :] \
-                + GPV[2][pl.ds(r, XT), :Z]
+                + GP[2][pl.ds(r, XT), :Z]
             Ps[:, bhi[1], :] = P[pl.ds(r, XT), bhi[1], :] \
-                + GPV[3][pl.ds(r, XT), :Z]
-            lz3 = _iota((1, 1, Z), 2)
-            Ps[...] = jnp.where(
-                lz3 == blo[2],
-                P[pl.ds(r, XT)] + GPV[4][pl.ds(r, XT), :Y][:, :, None],
-                P[pl.ds(r, XT)])
-            Ps[...] = jnp.where(
-                lz3 == bhi[2],
-                P[pl.ds(r, XT)] + GPV[5][pl.ds(r, XT), :Y][:, :, None],
-                P[pl.ds(r, XT)])
+                + GP[3][pl.ds(r, XT), :Z]
 
             # Q̂ scatters: boundary (gpl) + inner (gin) y/z planes
+            qadd = jnp.where(
+                lz3 == blo[2], GPL[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+            qadd = qadd + jnp.where(
+                lz3 == bhi[2], GPL[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+            qadd = qadd + jnp.where(
+                lz3 == ilo[2], GIN[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+            qadd = qadd + jnp.where(
+                lz3 == ihi[2], GIN[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
             Qs = Q.at[pl.ds(r, XT)]
+            Qs[...] = Q[pl.ds(r, XT)] + qadd
             Qs[:, blo[1], :] = Q[pl.ds(r, XT), blo[1], :] \
                 + GPL[2][pl.ds(r, XT), :Z]
             Qs[:, bhi[1], :] = Q[pl.ds(r, XT), bhi[1], :] \
@@ -721,30 +778,14 @@ class _MegaBwdKernel:
                 + GIN[2][pl.ds(r, XT), :Z]
             Qs[:, ihi[1], :] = Q[pl.ds(r, XT), ihi[1], :] \
                 + GIN[3][pl.ds(r, XT), :Z]
-            Qs[...] = jnp.where(
-                lz3 == blo[2],
-                Q[pl.ds(r, XT)] + GPL[4][pl.ds(r, XT), :Y][:, :, None],
-                Q[pl.ds(r, XT)])
-            Qs[...] = jnp.where(
-                lz3 == bhi[2],
-                Q[pl.ds(r, XT)] + GPL[5][pl.ds(r, XT), :Y][:, :, None],
-                Q[pl.ds(r, XT)])
-            Qs[...] = jnp.where(
-                lz3 == ilo[2],
-                Q[pl.ds(r, XT)] + GIN[4][pl.ds(r, XT), :Y][:, :, None],
-                Q[pl.ds(r, XT)])
-            Qs[...] = jnp.where(
-                lz3 == ihi[2],
-                Q[pl.ds(r, XT)] + GIN[5][pl.ds(r, XT), :Y][:, :, None],
-                Q[pl.ds(r, XT)])
             return 0
 
         jax.lax.fori_loop(0, nb, scatter, 0)
         # x planes: static global rows
         P[blo[0]:blo[0] + 1] = P[blo[0]:blo[0] + 1] \
-            + GPV[0][:Y, :Z][None]
+            + GP[0][:Y, :Z][None]
         P[bhi[0]:bhi[0] + 1] = P[bhi[0]:bhi[0] + 1] \
-            + GPV[1][:Y, :Z][None]
+            + GP[1][:Y, :Z][None]
         Q[blo[0]:blo[0] + 1] = Q[blo[0]:blo[0] + 1] \
             + GPL[0][:Y, :Z][None]
         Q[bhi[0]:bhi[0] + 1] = Q[bhi[0]:bhi[0] + 1] \
@@ -769,15 +810,15 @@ class _MegaBwdKernel:
         gsig_out[pl.ds(t, 1), :] = gsig[None, None]
         if mode == 1:
             Q[sx:sx + 1, sy:sy + 1, :] = jnp.where(lane == sz, 0.0, srow)
-        return (gfb, gfa)
+        return 0
 
     def kernel(self, fb_ref, fa_ref,
-               gtaps_ref, res_hbm, gnext_hbm, gcur_hbm, gst_hbm,
-               gnext_out, gcur_out, gst_out, gfb_out, gfa_out, gsig_out,
-               P, Q, GSTS, RSTG, *rest):
+               gtaps_ref, gnext_hbm, gcur_hbm, gst_hbm,
+               gnext_out, gcur_out, gst_out, gsig_out, gp_stream,
+               gstin_stream, P, Q, GSTS, *rest):
         planes = rest[:-1]
         sems = rest[-1]
-        GP, GPL, GIN, GPV = (tuple(planes[0:6]), tuple(planes[6:12]),
+        GP, GPL, GIN, M0G = (tuple(planes[0:6]), tuple(planes[6:12]),
                              tuple(planes[12:18]), tuple(planes[18:24]))
         copies = [
             pltpu.make_async_copy(gnext_hbm, P, sems.at[0]),
@@ -791,20 +832,17 @@ class _MegaBwdKernel:
 
         fbv, fav = fb_ref[...], fa_ref[...]
 
-        def two(i, gth):
+        def two(i, z):
             t1 = self.K - 1 - 2 * i
-            gth = self._substep(P, Q, GSTS, GP, GPL, GIN, GPV, fbv, fav,
-                                gtaps_ref, gsig_out, t1, res_hbm, RSTG,
-                                sems.at[3], gth)
-            gth = self._substep(Q, P, GSTS, GP, GPL, GIN, GPV, fbv, fav,
-                                gtaps_ref, gsig_out, t1 - 1, res_hbm,
-                                RSTG, sems.at[3], gth)
-            return gth
+            z = self._substep(P, Q, GSTS, GP, GPL, GIN, M0G, fbv, fav,
+                              gtaps_ref, gsig_out, t1, gp_stream,
+                              gstin_stream, sems)
+            z = self._substep(Q, P, GSTS, GP, GPL, GIN, M0G, fbv, fav,
+                              gtaps_ref, gsig_out, t1 - 1, gp_stream,
+                              gstin_stream, sems)
+            return z
 
-        gfb0 = jnp.zeros((6, self.order + 1), jnp.float32)
-        gfb, gfa = jax.lax.fori_loop(0, self.K // 2, two, (gfb0, gfb0))
-        gfb_out[...] = gfb
-        gfa_out[...] = gfa
+        jax.lax.fori_loop(0, self.K // 2, two, 0)
 
         copies = [
             pltpu.make_async_copy(P, gnext_out, sems.at[0]),
@@ -850,7 +888,7 @@ def _build_call(spec: BoxSpec, K: int, k: int, order: int, src, taps,
     if grad:
         out_shape.append(_f32(K, 4, 6, Umax, Vmax))
         out_specs.append(anym())
-        scratch.append(pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32))
+        scratch.append(pltpu.VMEM((6, Umax, Vmax), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((22,)))
     return pl.pallas_call(
         mk.kernel,
@@ -877,23 +915,23 @@ def _build_bwd_call(spec: BoxSpec, K: int, k: int, order: int, src,
     return pl.pallas_call(
         mk.kernel,
         in_specs=[vmem(), vmem(), vmem(),
-                  anym(), anym(), anym(), anym()],
+                  anym(), anym(), anym()],
         out_shape=(
             _f32(X, Y, Z), _f32(X, Y, Z),
-            _f32(order, 6, Umax, Vmax),
-            _f32(6, order + 1), _f32(6, order + 1), _f32(K, 1),
+            _f32(order, 6, Umax, Vmax), _f32(K, 1),
+            _f32(K, 6, Umax, Vmax),
+            _f32(K, order, 6, Umax, Vmax),
         ),
-        out_specs=(anym(), anym(), anym(), vmem(), vmem(), vmem()),
+        out_specs=(anym(), anym(), anym(), vmem(), anym(), anym()),
         scratch_shapes=[
             pltpu.VMEM((X, Y, Z), jnp.float32),
             pltpu.VMEM((X, Y, Z), jnp.float32),
             pltpu.VMEM((order, 6, Umax, Vmax), jnp.float32),
-            pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32),
         ] + [pltpu.VMEM((Umax, Vmax), jnp.float32)
              for _ in range(24)] + [
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((10,)),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases={3: 0, 4: 1, 5: 2},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
@@ -1019,14 +1057,47 @@ def _diff_core(spec: BoxSpec, chunk: int, k: int, order: int,
         stable = (bad == 0.0) & jnp.all(jnp.isfinite(cur))
         return (taps, stable), (face_b, face_a, res)
 
+    def _chunk_theta_grads(face_b, face_a, res_c, gp_s, gstin_s):
+        """θ cotangents for one chunk, OUTSIDE the kernel: differentiate
+        the inner product ⟨(ĝpplus, ĝst'), plane_step_natural(res; θ)⟩
+        (exact: gθ = ∂θ⟨ĝ, f(x₀, θ)⟩; the kernel's own pullbacks run at
+        zero primals and carry no θ information — class docstring)."""
+        shp = [spec.plane_shape(p) for p in range(6)]
+
+        def theta_ip(fb_, fa_):
+            def step_ip(res_t, gp_t, gstin_t):
+                pl6 = tuple(res_t[0, pi, :U, :V]
+                            for pi, (U, V) in enumerate(shp))
+                in6 = tuple(res_t[1, pi, :U, :V]
+                            for pi, (U, V) in enumerate(shp))
+                prev6 = tuple(res_t[2, pi, :U, :V]
+                              for pi, (U, V) in enumerate(shp))
+                st6 = tuple(jnp.concatenate(
+                    [res_t[3, pi, :U, :V][None],
+                     jnp.zeros((order - 1, U, V), jnp.float32)], axis=0)
+                    for pi, (U, V) in enumerate(shp))
+                pp, ns = plane_step_natural(spec, pl6, in6, prev6, st6,
+                                            fb_, fa_, kernel=False)
+                acc = jnp.float32(0.0)
+                for pi, (U, V) in enumerate(shp):
+                    acc = acc + jnp.vdot(gp_t[pi, :U, :V], pp[pi])
+                    acc = acc + jnp.vdot(gstin_t[:, pi, :U, :V], ns[pi])
+                return acc
+
+            return jnp.sum(jax.vmap(step_ip)(res_c, gp_s, gstin_s))
+
+        return jax.grad(theta_ip, argnums=(0, 1))(face_b, face_a)
+
     def core_bwd(saved, ct):
         face_b, face_a, res = saved
         gtaps, _ = ct
 
         def body(carry, c):
             gnext, gcur, gst, gfb, gfa = carry
-            gnext, gcur, gst, gfb_c, gfa_c, gsig_c = bcall(
-                face_b, face_a, gtaps[c], res[c], gnext, gcur, gst)
+            gnext, gcur, gst, gsig_c, gp_s, gstin_s = bcall(
+                face_b, face_a, gtaps[c], gnext, gcur, gst)
+            gfb_c, gfa_c = _chunk_theta_grads(face_b, face_a, res[c],
+                                              gp_s, gstin_s)
             return (gnext, gcur, gst, gfb + gfb_c, gfa + gfa_c), \
                 gsig_c[:, 0]
 
