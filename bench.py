@@ -449,12 +449,23 @@ def main():
 
     try:
         eff, detail = bench_weak_scaling()
-        # headline = collective efficiency with the 2-core host's
-        # parallelism ceiling divided out (detail holds all three
-        # figures + per-step wire bytes)
-        metrics["weak_scaling_eff"] = detail.get("efficiency_vs_ctrl",
-                                                 eff)
+        # THREE distinctly-named figures (VERDICT r4 asked for honest
+        # naming): raw virtual-CPU wall-clock, the ctrl-normalized
+        # collective efficiency (2-core host ceiling divided out), and
+        # the auditable ICI projection for the overlapped schedule
+        metrics["weak_scaling_eff_raw_cpu_harness"] = eff
+        metrics["weak_scaling_eff_vs_ctrl"] = detail.get(
+            "efficiency_vs_ctrl", eff)
+        proj = (detail.get("wire_per_step", {})
+                .get("ici_projection_224_8shards", {}))
+        stream = proj.get("streaming_rate_serialized_link", {})
+        metrics["weak_scaling_ici_projection"] = stream.get(
+            "efficiency_with_overlap")
         extra["weak_scaling"] = detail
+        # legacy headline slot: keep the vs_ctrl figure (same metric as
+        # BENCH_r04's weak_scaling_eff) so round-over-round comparison
+        # stays apples-to-apples
+        metrics["weak_scaling_eff"] = metrics["weak_scaling_eff_vs_ctrl"]
     except Exception:
         errors["weak_scaling_eff"] = traceback.format_exc(limit=4)
 
@@ -471,6 +482,11 @@ def main():
         "waveguide_bwd": metrics.get("waveguide_bwd"),
         "rays_per_s": metrics.get("rays_per_s"),
         "weak_scaling_eff": metrics.get("weak_scaling_eff"),
+        "weak_scaling_eff_raw_cpu_harness": metrics.get(
+            "weak_scaling_eff_raw_cpu_harness"),
+        "weak_scaling_eff_vs_ctrl": metrics.get("weak_scaling_eff_vs_ctrl"),
+        "weak_scaling_ici_projection": metrics.get(
+            "weak_scaling_ici_projection"),
         "errors": errors,
         "extra": extra,
     }))

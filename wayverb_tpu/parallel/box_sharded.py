@@ -476,15 +476,9 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
             lidx = jnp.where(okm, xloc * yz + idx % yz, 0)
             return jnp.where(okm, cur_flat[lidx], 0.0)
 
-        def step(carry, t):
-            (cur, prev, (pl_x, pl_yz, in_yz, prev_x, prev_yz,
-                         st_x, st_yz), rstate, ok) = carry
-            cur_flat = _inject_local(source, cur.reshape(-1), t, off, xl,
-                                     dims)
-            cur = cur_flat.reshape(xl, Y, Z)
-
-            # ONE ppermute pair: the field edge row (post-injection) and
-            # the four y/z plane-halo rows ride together
+        def exchange(cur, pl_yz):
+            """ONE ppermute pair: the field edge row (post-injection)
+            and the four y/z plane-halo rows ride together."""
             if n > 1 and not fake_collectives:
                 send_dn = jnp.concatenate(
                     [cur[-1:].reshape(1, -1),
@@ -493,7 +487,8 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                     [cur[:1].reshape(1, -1),
                      pl_yz[:, :1, :].reshape(1, -1)], axis=1)
                 got_dn = jax.lax.ppermute(
-                    send_dn, axis_name, [(i, i + 1) for i in range(n - 1)])
+                    send_dn, axis_name,
+                    [(i, i + 1) for i in range(n - 1)])
                 got_up = jax.lax.ppermute(
                     send_up, axis_name,
                     [(i + 1, i) for i in range(n - 1)])
@@ -501,11 +496,13 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                          got_up[:, :yz].reshape(1, Y, Z))
                 ph_lo = got_dn[:, yz:].reshape(4, 1, Vmax)
                 ph_hi = got_up[:, yz:].reshape(4, 1, Vmax)
-            else:
-                halos = (jnp.zeros((1, Y, Z), dtype),
-                         jnp.zeros((1, Y, Z), dtype))
-                ph_lo = ph_hi = jnp.zeros((4, 1, Vmax), dtype)
+                return halos, ph_lo, ph_hi
+            halos = (jnp.zeros((1, Y, Z), dtype),
+                     jnp.zeros((1, Y, Z), dtype))
+            ph = jnp.zeros((4, 1, Vmax), dtype)
+            return halos, ph, ph
 
+        def taps_psum(cur_flat, rstate):
             # ONE psum: the receiver tap values — that is ALL.  The x
             # planes' inputs are local to the x-end owner shards: their
             # coupling lines (yz_line_contrib) live on the owner, their
@@ -517,12 +514,12 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                 tap_vals = (tv if fake_collectives
                             else jax.lax.psum(tv, axis_name))
                 from wayverb_tpu.waveguide.box_mega import _SeqTapView
-                rstate, outputs = receiver.tap(_SeqTapView(tap_vals),
-                                               rstate)
-            else:
-                view = _ShardView(cur_flat, off, xl, dims, axis_name)
-                rstate, outputs = receiver.tap(view, rstate)
+                return receiver.tap(_SeqTapView(tap_vals), rstate)
+            view = _ShardView(cur_flat, off, xl, dims, axis_name)
+            return receiver.tap(view, rstate)
 
+        def plane_updates(cur, pl_x, pl_yz, in_yz, prev_x, prev_yz,
+                          st_x, st_yz, halos, ph_lo, ph_hi, t):
             # x inner planes from the resident rows (post-injection):
             # owned row, or the neighbour's exchanged edge row when the
             # inner plane is the first row of the next shard
@@ -537,8 +534,8 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
             in_x = jnp.stack([
                 x_row(spec.ilo[0], halos[1], spec.ilo[0] == off + xl),
                 x_row(spec.ihi[0], halos[0], spec.ihi[0] == off - 1)])
-            lines_yz = yz_line_contrib(spec, st_yz, off, xl).astype(dtype)
-
+            lines_yz = yz_line_contrib(spec, st_yz, off,
+                                       xl).astype(dtype)
             in_yz_p = _patch_inner_yz(source, in_yz, spec, dims, t, off,
                                       xl)
             px_new, stx_new, pyz_new, styz_new = plane_step_sharded(
@@ -546,22 +543,140 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                 pl_x, in_x, prev_x, st_x,
                 pl_yz, in_yz_p, prev_yz, st_yz,
                 ph_lo, ph_hi, lines_yz, face_b, face_a)
-            px_new = px_new.astype(dtype)
-            pyz_new = pyz_new.astype(dtype)
+            return (px_new.astype(dtype), stx_new,
+                    pyz_new.astype(dtype), styz_new, in_yz_p)
 
+        pad_v = lambda a, V: jnp.pad(a, ((0, 0),            # noqa: E731
+                                         (0, Vmax - V)))
+
+        def step_serial(carry, t):
+            """Round-4 order: exchange first, everything downstream of
+            the halos — kept for geometries where the overlapped order's
+            static preconditions fail (overlap_supported)."""
+            (cur, prev, (pl_x, pl_yz, in_yz, prev_x, prev_yz,
+                         st_x, st_yz), rstate, ok) = carry
+            cur_flat = _inject_local(source, cur.reshape(-1), t, off, xl,
+                                     dims)
+            cur = cur_flat.reshape(xl, Y, Z)
+            halos, ph_lo, ph_hi = exchange(cur, pl_yz)
+            rstate, outputs = taps_psum(cur_flat, rstate)
+            px_new, stx_new, pyz_new, styz_new, _ = plane_updates(
+                cur, pl_x, pl_yz, in_yz, prev_x, prev_yz, st_x, st_yz,
+                halos, ph_lo, ph_hi, t)
             local_planes = (px_new[0], px_new[1],
                             pyz_new[0, :, :Z], pyz_new[1, :, :Z],
                             pyz_new[2, :, :Y], pyz_new[3, :, :Y])
             nxt, in6_local = fused_step(spec, geom, cur, prev,
                                         local_planes, halos=halos)
-
             # next inner planes: y/z stay LOCAL (the x planes are read
             # straight from the resident field rows next step)
-            pad_v = lambda a, V: jnp.pad(a, ((0, 0),        # noqa: E731
-                                             (0, Vmax - V)))
             in_yz_next = jnp.stack([
                 pad_v(in6_local[2], Z), pad_v(in6_local[3], Z),
                 pad_v(in6_local[4], Y), pad_v(in6_local[5], Y)])
+            ok = ok & jnp.isfinite(jnp.sum(px_new)) \
+                & jnp.isfinite(jnp.sum(pyz_new))
+            bstate = (px_new, pyz_new, in_yz_next,
+                      pl_x, pl_yz, stx_new.astype(sdtype),
+                      styz_new.astype(sdtype))
+            return (nxt, cur, bstate, rstate, ok), outputs
+
+        def step_overlap(carry, t):
+            """Overlapped order: the bulk field kernel and the plane
+            update run with ZERO halos and no data dependence on the
+            exchange, so XLA's latency-hiding scheduler can run the
+            ppermute DURING the kernel; only the two shard-edge field
+            rows and the two shard-edge plane rows are recomputed after
+            the halos land (O(Y·Z) work).  Preconditions are checked
+            statically by overlap_supported (x planes never straddle,
+            x-coupling masks never hit edge rows)."""
+            (cur, prev, (pl_x, pl_yz, in_yz, prev_x, prev_yz,
+                         st_x, st_yz), rstate, ok) = carry
+            cur_flat = _inject_local(source, cur.reshape(-1), t, off, xl,
+                                     dims)
+            cur = cur_flat.reshape(xl, Y, Z)
+
+            # issue the exchange; nothing below reads it until the
+            # edge-row fix-ups
+            halos, ph_lo, ph_hi = exchange(cur, pl_yz)
+
+            zero_h = (jnp.zeros((1, Y, Z), dtype),
+                      jnp.zeros((1, Y, Z), dtype))
+            zero_ph = jnp.zeros((4, 1, Vmax), dtype)
+            px_new, stx_new, pyz_new, styz_new, in_yz_p = plane_updates(
+                cur, pl_x, pl_yz, in_yz, prev_x, prev_yz, st_x, st_yz,
+                zero_h, zero_ph, zero_ph, t)
+
+            rstate, outputs = taps_psum(cur_flat, rstate)
+
+            local_planes = (px_new[0], px_new[1],
+                            pyz_new[0, :, :Z], pyz_new[1, :, :Z],
+                            pyz_new[2, :, :Y], pyz_new[3, :, :Y])
+            nxt, in6_local = fused_step(spec, geom, cur, prev,
+                                        local_planes, halos=None)
+
+            # ---- post-halo skin fix-ups -------------------------------
+            # 1. recompute the four y/z planes' shard-edge rows with the
+            #    REAL plane halos (same _plane_rows_update core)
+            pyz_fix, styz_fix = yz_edge_rows_fix(
+                spec, off, xl, pl_yz, in_yz_p, prev_yz, st_yz, st_x[0],
+                ph_lo, ph_hi, face_b, face_a)
+            pyz_fix = pyz_fix.astype(dtype)
+            d_lo = pyz_fix[:, 0] - pyz_new[:, 0]          # (4, Vmax)
+            d_hi = pyz_fix[:, 1] - pyz_new[:, xl - 1]
+
+            # 2. field edge rows: the halo term of the interior stencil
+            #    plus the splice-lane corrections from the fixed plane
+            #    rows (splice precedence y < z; x splices never land on
+            #    shard-edge rows under overlap_supported)
+            iy2 = jnp.arange(Y)[:, None]
+            iz2 = jnp.arange(Z)[None, :]
+            ilo_, ihi_ = spec.ilo, spec.ihi
+            blo_ = tuple(v - 1 for v in ilo_)
+            bhi_ = tuple(v + 1 for v in ihi_)
+            yz_int = ((iy2 >= ilo_[1]) & (iy2 <= ihi_[1]) &
+                      (iz2 >= ilo_[2]) & (iz2 <= ihi_[2]))
+            keep_z = (iz2 != blo_[2]) & (iz2 != bhi_[2])
+
+            def row_fix(g_row, halo_row, d):
+                m = ((g_row >= ilo_[0]) & (g_row <= ihi_[0]) & yz_int)
+                add = jnp.where(m, COURANT_SQ * halo_row[0], 0.0)
+                add = add + jnp.where((iy2 == blo_[1]) & keep_z,
+                                      d[0][None, :Z], 0.0)
+                add = add + jnp.where((iy2 == bhi_[1]) & keep_z,
+                                      d[1][None, :Z], 0.0)
+                add = add + jnp.where(iz2 == blo_[2], d[2][:Y, None],
+                                      0.0)
+                add = add + jnp.where(iz2 == bhi_[2], d[3][:Y, None],
+                                      0.0)
+                return add
+
+            add_lo = row_fix(off, halos[0], d_lo)
+            add_hi = row_fix(off + xl - 1, halos[1], d_hi)
+            nxt = nxt.at[0].add(add_lo).at[xl - 1].add(add_hi)
+
+            # 3. splice the fixed plane rows / state rows into the
+            #    carried plane blocks
+            pyz_new = pyz_new.at[:, 0].set(pyz_fix[:, 0]) \
+                             .at[:, xl - 1].set(pyz_fix[:, 1])
+            styz_new = styz_new.at[:, :, 0].set(styz_fix[:, :, 0]) \
+                               .at[:, :, xl - 1].set(styz_fix[:, :, 1])
+
+            # 4. next inner planes, with the edge-row corrections
+            in_yz_next = jnp.stack([
+                pad_v(in6_local[2], Z), pad_v(in6_local[3], Z),
+                pad_v(in6_local[4], Y), pad_v(in6_local[5], Y)])
+            edge_vals = jnp.stack([
+                jnp.stack([pad_v(add_lo[ilo_[1], :][None], Z)[0],
+                           pad_v(add_hi[ilo_[1], :][None], Z)[0]]),
+                jnp.stack([pad_v(add_lo[ihi_[1], :][None], Z)[0],
+                           pad_v(add_hi[ihi_[1], :][None], Z)[0]]),
+                jnp.stack([pad_v(add_lo[:, ilo_[2]][None], Y)[0],
+                           pad_v(add_hi[:, ilo_[2]][None], Y)[0]]),
+                jnp.stack([pad_v(add_lo[:, ihi_[2]][None], Y)[0],
+                           pad_v(add_hi[:, ihi_[2]][None], Y)[0]]),
+            ])                                            # (4, 2, Vmax)
+            in_yz_next = in_yz_next.at[:, 0].add(edge_vals[:, 0]) \
+                                   .at[:, xl - 1].add(edge_vals[:, 1])
 
             ok = ok & jnp.isfinite(jnp.sum(px_new)) \
                 & jnp.isfinite(jnp.sum(pyz_new))
@@ -569,6 +684,9 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                       pl_x, pl_yz, stx_new.astype(sdtype),
                       styz_new.astype(sdtype))
             return (nxt, cur, bstate, rstate, ok), outputs
+
+        step = (step_overlap
+                if n > 1 and overlap_supported(spec, xl) else step_serial)
 
         init = (cur0, cur0, (px0, pyz0, pyz0, px0, pyz0,
                              stx0, styz0), rstate0,

@@ -386,56 +386,69 @@ class _MegaKernel:
         fbv, fav = fb[...], fa[...]
         shp = [spec.plane_shape(pi) for pi in range(6)]
 
+        res_cp = None
         if self.grad:
-            # stream (pl, in, prev, m0) for the θ-gradient phase through
-            # ONE (6, Umax, Vmax) per-role staging buffer — the r4
-            # (4, 6, Umax, Vmax) monolith was 5.25 MB of scratch, and
-            # per-plane direct DMAs to the dynamically-indexed HBM
-            # target cost Mosaic a bounce allocation per transfer
-            # (measured: 19 direct DMAs regressed the capacity cliff
-            # from 224³ to 216³).  Serializing 4 role-sized DMAs through
-            # one reused buffer keeps both costs ~1.4 MB.
+            # capture (pl, in, prev, m0) for the θ-gradient phase into
+            # the (4, 6, Umax, Vmax) staging buffer and stream it with
+            # ONE DMA that overlaps the plane + stencil work below
+            # (awaited at the end of the sub-step; per-plane direct
+            # DMAs to the dynamically-indexed HBM target cost Mosaic a
+            # bounce allocation per transfer — measured: 19 direct DMAs
+            # regressed the capacity cliff from 224³ to 216³)
             for role, refs in ((0, PL), (1, INS), (2, PRVP)):
                 for pi in range(6):
-                    res_stage[pi] = refs[pi][...]
-                cp = pltpu.make_async_copy(res_stage,
-                                           res_hbm.at[t, role],
+                    res_stage[role, pi] = refs[pi][...]
+            res_stage[3] = STS[0]
+            res_cp = pltpu.make_async_copy(res_stage, res_hbm.at[t],
                                            sems.at[3])
-                cp.start()
-                cp.wait()
-            for pi in range(6):
-                res_stage[pi] = STS[0, pi]
-            cp = pltpu.make_async_copy(res_stage, res_hbm.at[t, 3],
-                                       sems.at[3])
-            cp.start()
-            cp.wait()
+            res_cp.start()
 
-        # ONE PLANE AT A TIME, results written back immediately — the
-        # whole-six-plane plane_step_natural trace kept ~6× the live
-        # intermediates and was part of the 224³ grad-mode VMEM
-        # overflow.  The m₀ planes are snapshotted up front (each
-        # plane's coupling reads its neighbours' OLD m₀), so the
-        # in-place STS writes per plane are safe; plane pi's own
-        # pl/in/prev reads happen before its PL/PRVP write-back.
-        m0_6 = tuple(STS[0, pi, :U, :V]
-                     for pi, (U, V) in enumerate(shp))
-        bad = jnp.float32(0.0)
-        for pi in range(6):
-            U, V = shp[pi]
-            st_hi = jnp.stack([STS[j, pi, :U, :V]
-                               for j in range(1, self.order)])
-            new_p, newst = plane_step_one(
-                spec, pi, PL[pi][:U, :V], INS[pi][:U, :V],
-                PRVP[pi][:U, :V], m0_6, st_hi, fbv, fav)
-            for j in range(self.order):
-                STS[j, pi, :U, :V] = newst[j]
-            # PRVP <- old PL, then PL <- new_p: PL now holds this step's
-            # computed boundary pressures (read below by the splices and
-            # carried as next sub-step's boundary planes)
-            PRVP[pi][...] = PL[pi][...]
-            PL[pi][:U, :V] = new_p
-            bad = bad + (1.0 - jnp.isfinite(jnp.sum(new_p))
-                         .astype(jnp.float32))
+        if self.grad:
+            # ONE PLANE AT A TIME, results written back immediately —
+            # the whole-six-plane plane_step_natural trace keeps ~6× the
+            # live intermediates and overflowed VMEM at 224³ alongside
+            # the residual staging; the non-grad kernel keeps the
+            # monolithic trace (it fits and runs ~15 µs/step faster).
+            # The m₀ planes are snapshotted up front (each plane's
+            # coupling reads its neighbours' OLD m₀), so the in-place
+            # STS writes per plane are safe; plane pi's own pl/in/prev
+            # reads happen before its PL/PRVP write-back.
+            m0_6 = tuple(STS[0, pi, :U, :V]
+                         for pi, (U, V) in enumerate(shp))
+            bad = jnp.float32(0.0)
+            for pi in range(6):
+                U, V = shp[pi]
+                st_hi = jnp.stack([STS[j, pi, :U, :V]
+                                   for j in range(1, self.order)])
+                new_p, newst = plane_step_one(
+                    spec, pi, PL[pi][:U, :V], INS[pi][:U, :V],
+                    PRVP[pi][:U, :V], m0_6, st_hi, fbv, fav)
+                for j in range(self.order):
+                    STS[j, pi, :U, :V] = newst[j]
+                # PRVP <- old PL, then PL <- new_p: PL now holds this
+                # step's computed boundary pressures (read below by the
+                # splices and carried as next sub-step's boundary planes)
+                PRVP[pi][...] = PL[pi][...]
+                PL[pi][:U, :V] = new_p
+                bad = bad + (1.0 - jnp.isfinite(jnp.sum(new_p))
+                             .astype(jnp.float32))
+        else:
+            pl6 = tuple(PL[pi][:U, :V] for pi, (U, V) in enumerate(shp))
+            in6 = tuple(INS[pi][:U, :V] for pi, (U, V) in enumerate(shp))
+            prev6 = tuple(PRVP[pi][:U, :V]
+                          for pi, (U, V) in enumerate(shp))
+            st6 = self._read_st(STS)
+            pplus, newst6 = plane_step_natural(spec, pl6, in6, prev6,
+                                               st6, fbv, fav)
+            bad = jnp.float32(0.0)
+            for pi in range(6):
+                U, V = shp[pi]
+                for j in range(self.order):
+                    STS[j, pi, :U, :V] = newst6[pi][j]
+                PRVP[pi][...] = PL[pi][...]
+                PL[pi][:U, :V] = pplus[pi]
+                bad = bad + (1.0 - jnp.isfinite(jnp.sum(pplus[pi]))
+                             .astype(jnp.float32))
 
         # interior stencil + splices + slab-wise inner-plane extraction
         # (splice precedence y < z < x mirrors box_fused._fwd_kernel)
@@ -513,6 +526,8 @@ class _MegaKernel:
             return 0
 
         jax.lax.fori_loop(0, nb, slab, 0)
+        if res_cp is not None:
+            res_cp.wait()
         return bad
 
     # -- kernel body -----------------------------------------------------
@@ -623,6 +638,12 @@ class _MegaBwdKernel:
         yz_m = ((iy >= ilo[1]) & (iy <= ihi[1]) &
                 (iz >= ilo[2]) & (iz <= ihi[2]))
 
+        # the ĝst' stream (GSTS is untouched until the pullback loop)
+        # starts NOW so the DMA overlaps the whole stencil-transpose pass
+        gst_cp = pltpu.make_async_copy(GSTS, gstin_stream.at[t],
+                                       sems.at[3])
+        gst_cp.start()
+
         # 1. stencil transpose: Q += λ²·Σ shift(M·P), slab by slab; the
         # same pass extracts the boundary-plane cotangents ĝpplus from
         # the RAW P̂ rows into per-plane scratch (GP) under the splice-
@@ -680,16 +701,16 @@ class _MegaBwdKernel:
 
         jax.lax.fori_loop(0, nb, slab, 0)
 
-        # 2. stream this sub-step's output cotangents (ĝpplus in GP,
-        # ĝst' in GSTS) to HBM for the XLA θ-gradient phase, BEFORE the
-        # pullback loop overwrites them
-        copies = [pltpu.make_async_copy(GSTS, gstin_stream.at[t],
-                                        sems.at[3])]
-        for pi in range(6):
-            copies.append(pltpu.make_async_copy(
-                GP[pi], gp_stream.at[t, pi], sems.at[4 + pi]))
+        # 2. stream this sub-step's remaining output cotangents (ĝpplus
+        # in GP) to HBM for the θ-gradient phase, BEFORE the pullback
+        # loop overwrites them; join the ĝst' stream started above the
+        # stencil-transpose pass
+        copies = [pltpu.make_async_copy(
+            GP[pi], gp_stream.at[t, pi], sems.at[4 + pi])
+            for pi in range(6)]
         for c in copies:
             c.start()
+        gst_cp.wait()
         for c in copies:
             c.wait()
 
@@ -743,15 +764,69 @@ class _MegaBwdKernel:
         # chain of per-plane jnp.where passes re-read/rewrote each slab
         # 4×; shared edge lines still accumulate because the adds are
         # independent lane selects summed BEFORE the single store).
+        # Lane-broadcasting an (XT, Y) block over Z pays a fixed
+        # lane→sublane relayout of the block — the dominant scatter cost
+        # (~144 µs/sub-step at 224³ across the six z-arrays; measured by
+        # a scalar-substitution bisect).  The half-width split below
+        # keeps the VPU temps smaller but does NOT remove the relayout
+        # (measured neutral); it is kept because the relayout fix — a
+        # z-plane-transposed staging layout or an MXU outer-product
+        # splice — is future work (MEGA_NOTES.md round-5 notes).
+        zsplit = (Z % 128 == 0 and Z >= 256
+                  and blo[2] < 128 and ilo[2] < 128
+                  and bhi[2] >= Z - 128 and ihi[2] >= Z - 128)
+
         def scatter(j, _):
             r = pl.multiple_of(j * XT, XT)
             lz3 = _iota((1, 1, Z), 2)
-            padd = jnp.where(
-                lz3 == blo[2], GP[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
-            padd = padd + jnp.where(
-                lz3 == bhi[2], GP[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+            negp = -masked_rows(r, XT)
+            qblk = Q[pl.ds(r, XT)]
+            if zsplit:
+                lzl = _iota((1, 1, 128), 2)
+                lzh = (Z - 128) + lzl
+                p_lo = jnp.where(
+                    lzl == blo[2],
+                    GP[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                p_hi = jnp.where(
+                    lzh == bhi[2],
+                    GP[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                mids = ([jnp.zeros((XT, Y, Z - 256), p_lo.dtype)]
+                        if Z > 256 else [])
+                padd = jnp.concatenate([p_lo] + mids + [p_hi], axis=2)
+                q_lo = jnp.where(
+                    lzl == blo[2],
+                    GPL[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                q_lo = q_lo + jnp.where(
+                    lzl == ilo[2],
+                    GIN[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                q_hi = jnp.where(
+                    lzh == bhi[2],
+                    GPL[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                q_hi = q_hi + jnp.where(
+                    lzh == ihi[2],
+                    GIN[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                qadd = jnp.concatenate([q_lo] + mids + [q_hi], axis=2)
+            else:
+                padd = jnp.where(
+                    lz3 == blo[2],
+                    GP[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                padd = padd + jnp.where(
+                    lz3 == bhi[2],
+                    GP[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                qadd = jnp.where(
+                    lz3 == blo[2],
+                    GPL[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                qadd = qadd + jnp.where(
+                    lz3 == bhi[2],
+                    GPL[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                qadd = qadd + jnp.where(
+                    lz3 == ilo[2],
+                    GIN[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
+                qadd = qadd + jnp.where(
+                    lz3 == ihi[2],
+                    GIN[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
             Ps = P.at[pl.ds(r, XT)]
-            Ps[...] = -masked_rows(r, XT) + padd
+            Ps[...] = negp + padd
             # ĝprev lands at boundary-plane coords (−M·P̂ is zero there;
             # shared edge lines accumulate across the plane loop)
             Ps[:, blo[1], :] = P[pl.ds(r, XT), blo[1], :] \
@@ -760,16 +835,8 @@ class _MegaBwdKernel:
                 + GP[3][pl.ds(r, XT), :Z]
 
             # Q̂ scatters: boundary (gpl) + inner (gin) y/z planes
-            qadd = jnp.where(
-                lz3 == blo[2], GPL[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
-            qadd = qadd + jnp.where(
-                lz3 == bhi[2], GPL[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
-            qadd = qadd + jnp.where(
-                lz3 == ilo[2], GIN[4][pl.ds(r, XT), :Y][:, :, None], 0.0)
-            qadd = qadd + jnp.where(
-                lz3 == ihi[2], GIN[5][pl.ds(r, XT), :Y][:, :, None], 0.0)
             Qs = Q.at[pl.ds(r, XT)]
-            Qs[...] = Q[pl.ds(r, XT)] + qadd
+            Qs[...] = qblk + qadd
             Qs[:, blo[1], :] = Q[pl.ds(r, XT), blo[1], :] \
                 + GPL[2][pl.ds(r, XT), :Z]
             Qs[:, bhi[1], :] = Q[pl.ds(r, XT), bhi[1], :] \
@@ -888,7 +955,7 @@ def _build_call(spec: BoxSpec, K: int, k: int, order: int, src, taps,
     if grad:
         out_shape.append(_f32(K, 4, 6, Umax, Vmax))
         out_specs.append(anym())
-        scratch.append(pltpu.VMEM((6, Umax, Vmax), jnp.float32))
+        scratch.append(pltpu.VMEM((4, 6, Umax, Vmax), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((22,)))
     return pl.pallas_call(
         mk.kernel,
