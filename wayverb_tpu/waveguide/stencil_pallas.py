@@ -133,65 +133,129 @@ def _weight(W, d):
     return (((W >> d) & 1) + ((W >> (6 + d)) & 1)).astype(jnp.float32)
 
 
-def _wkernel(cur_lo_ref, cur_ref, cur_hi_ref, prev_ref, code_ref, out_ref):
+def _shifts_in_kernel(c, lo_ref, hi_ref, i, n):
+    """The six neighbour views p[x+e_d] of a (XT, Y, Z) block, with x-halos
+    from the adjacent blocks and zero fill at global walls (the lo/c/hi
+    triple-stream form — kept for the sharded haloed kernels)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    up = jnp.concatenate([lo_ref[XT - 1:], c[:-1]], axis=0)
+    dn = jnp.concatenate([c[1:], hi_ref[:1]], axis=0)
+    up = jnp.where((i == 0) & (row == 0), jnp.zeros_like(up), up)
+    dn = jnp.where((i == n - 1) & (row == XT - 1), jnp.zeros_like(dn), dn)
+    zy = jnp.zeros_like(c[:, :1])
+    zz = jnp.zeros_like(c[:, :, :1])
+    return (up, dn,
+            jnp.concatenate([zy, c[:, :-1]], axis=1),
+            jnp.concatenate([c[:, 1:], zy], axis=1),
+            jnp.concatenate([zz, c[:, :, :-1]], axis=2),
+            jnp.concatenate([c[:, :, 1:], zz], axis=2))
+
+
+def _rolled_shifts(c, tail, dn_row, j, nb):
+    """The six neighbour views of a (XT, Y, Z) block in the LAGGED grid:
+    the x-up halo comes from the carried ``tail`` (last row of the
+    previous block, zero-seeded at the first grid step = global wall),
+    the x-down halo from the ARRIVING next block's first row (``dn_row``,
+    zeroed at the last block = global wall).  One cur stream instead of
+    the lo/c/hi triple-stream of the r3 formulation (3× HBM traffic)."""
+    up = jnp.concatenate([tail, c[:-1]], axis=0)
+    dn = jnp.concatenate([c[1:], dn_row], axis=0)
+    zy = jnp.zeros_like(c[:, :1])
+    zz = jnp.zeros_like(c[:, :, :1])
+    return (up, dn,
+            jnp.concatenate([zy, c[:, :-1]], axis=1),
+            jnp.concatenate([c[:, 1:], zy], axis=1),
+            jnp.concatenate([zz, c[:, :, :-1]], axis=2),
+            jnp.concatenate([c[:, :, 1:], zz], axis=2))
+
+
+def _wkernel(cur_ref, prev_ref, code_ref, out_ref, slab, tail, *, Y, Z,
+             nb):
     i = pl.program_id(0)
-    n = pl.num_programs(0)
-    c = cur_ref[...]
-    W = code_ref[...]
-    shifts = _shifts_in_kernel(c, cur_lo_ref, cur_hi_ref, i, n)
-    acc = jnp.zeros_like(c)
-    for d in range(6):
-        acc = acc + _weight(W, d) * shifts[d]
-    is_int = ((W >> 12) & 1).astype(c.dtype)
-    out_ref[...] = COURANT_SQ * acc - is_int * prev_ref[...]
+    j = jnp.maximum(i - 1, 0)
+
+    @pl.when(i >= 1)
+    def _():
+        c = slab[...]
+        dn_row = jnp.where(j == nb - 1,
+                           jnp.zeros((1, Y, Z), c.dtype), cur_ref[0:1])
+        shifts = _rolled_shifts(c, tail[...], dn_row, j, nb)
+        W = code_ref[...]
+        acc = jnp.zeros_like(c)
+        for d in range(6):
+            acc = acc + _weight(W, d) * shifts[d]
+        is_int = ((W >> 12) & 1).astype(c.dtype)
+        out_ref[...] = COURANT_SQ * acc - is_int * prev_ref[...]
+
+    tail[...] = jnp.where(i == 0, jnp.zeros_like(slab[XT - 1:XT]),
+                          slab[XT - 1:XT])
+    slab[...] = cur_ref[...]
 
 
-def _wkernel_bwd(g_lo_ref, g_ref, g_hi_ref, w_lo_ref, w_ref, w_hi_ref,
-                 out_ref):
+def _wkernel_bwd(g_ref, w_ref, out_ref, slab_g, tail_g, slab_w, tail_w,
+                 *, Y, Z, nb):
     """cur̄[y] = λ²·Σ_d w_d(y−e_d)·ḡ(y−e_d) = λ²·Σ_dd shift_dd(ḡ)·
-    w_opp(dd)(shift_dd position) — the transpose of the weighted sum."""
+    w_opp(dd)(shift_dd position) — the transpose of the weighted sum.
+    Same lagged rolling window, carried for BOTH ḡ and the weight code."""
     i = pl.program_id(0)
-    n = pl.num_programs(0)
-    g = g_ref[...]
-    gs = _shifts_in_kernel(g, g_lo_ref, g_hi_ref, i, n)
-    W = w_ref[...]
-    ws = _shifts_in_kernel(W, w_lo_ref, w_hi_ref, i, n)
-    acc = jnp.zeros_like(g)
-    for dd in range(6):
-        acc = acc + _weight(ws[dd], _OPPOSITE[dd]) * gs[dd]
-    out_ref[...] = COURANT_SQ * acc
+    j = jnp.maximum(i - 1, 0)
+
+    @pl.when(i >= 1)
+    def _():
+        g = slab_g[...]
+        gdn = jnp.where(j == nb - 1, jnp.zeros((1, Y, Z), g.dtype),
+                        g_ref[0:1])
+        gs = _rolled_shifts(g, tail_g[...], gdn, j, nb)
+        W = slab_w[...]
+        wdn = jnp.where(j == nb - 1, jnp.zeros((1, Y, Z), W.dtype),
+                        w_ref[0:1])
+        ws = _rolled_shifts(W, tail_w[...], wdn, j, nb)
+        acc = jnp.zeros_like(g)
+        for dd in range(6):
+            acc = acc + _weight(ws[dd], _OPPOSITE[dd]) * gs[dd]
+        out_ref[...] = COURANT_SQ * acc
+
+    tail_g[...] = jnp.where(i == 0, jnp.zeros_like(slab_g[XT - 1:XT]),
+                            slab_g[XT - 1:XT])
+    slab_g[...] = g_ref[...]
+    tail_w[...] = jnp.where(i == 0, jnp.zeros_like(slab_w[XT - 1:XT]),
+                            slab_w[XT - 1:XT])
+    slab_w[...] = w_ref[...]
 
 
 def _wcall(kernel, a, b_extra, X, Y, Z, dtype):
+    import functools as _ft
     nb = X // XT
 
-    def tile(i):
-        return (i, 0, 0)
+    def tile_arrive(i):
+        return (jnp.minimum(i, nb - 1), 0, 0)
 
-    def tile_lo(i):
+    def tile_lag(i):
         return (jnp.maximum(i - 1, 0), 0, 0)
 
-    def tile_hi(i):
-        return (jnp.minimum(i + 1, nb - 1), 0, 0)
-
-    def spec(im):
+    def spec(im, dt):
         return pl.BlockSpec((XT, Y, Z), im, memory_space=pltpu.VMEM)
 
     specs = []
     args = []
-    for arr, haloed in a:
-        if haloed:
-            specs += [spec(tile_lo), spec(tile), spec(tile_hi)]
-            args += [arr, arr, arr]
+    scratch = []
+    for arr, windowed in a:
+        if windowed:
+            # arriving block + (slab, tail) window scratch
+            specs.append(spec(tile_arrive, arr.dtype))
+            args.append(arr)
+            scratch += [pltpu.VMEM((XT, Y, Z), arr.dtype),
+                        pltpu.VMEM((1, Y, Z), arr.dtype)]
         else:
-            specs.append(spec(tile))
+            specs.append(spec(tile_lag, arr.dtype))
             args.append(arr)
     return pl.pallas_call(
-        kernel,
-        grid=(nb,),
+        _ft.partial(kernel, Y=Y, Z=Z, nb=nb),
+        grid=(nb + 1,),
         in_specs=specs,
-        out_specs=spec(tile),
+        out_specs=spec(tile_lag, dtype),
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        scratch_shapes=scratch,
         interpret=b_extra,
     )(*args)
 
