@@ -211,10 +211,10 @@ def auto_accel(soup: TriangleSoup):
     TPU large scenes use the VMEM-tiled Möller–Trumbore Pallas kernel
     (mt_pallas.py — ~8x the dense broadcast, ~45x the gather-bound DDA at
     5k triangles); above mt_pallas.CULL_MIN_TRIS the builder adds the
-    Morton-tile AABB culling stage (ray sort + per-tile slab gate), which
-    keeps the cost sub-linear in T at reference-class (1e5-triangle)
-    scenes instead of the brute-force O(R·T) (ADVICE r3: the flat kernel's
-    measured advantage was only validated to ~5k triangles).  Off-TPU the
+    Morton-tile AABB culling stage (ray sort + per-tile slab gate):
+    measured r5 on v5e, 1.21e6 rays/s at a 97k-triangle hall vs 3.5e6 at
+    5.4k — a 2.9× drop for 17.8× the triangles (sub-linear, but not
+    T-independent like the reference's voxel walk).  Off-TPU the
     voxel DDA wins (gathers are cheap on CPU, and the DDA does
     asymptotically less work).
     """

@@ -33,8 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 from wayverb_tpu.core.geometry import EPSILON, TriangleSoup
 
 SLACK = 1e-4          # barycentric edge slack (geometry.py:100)
+# Tile sizes swept on v5e (r5, 2^16 rays, 5.4k/97k-tri halls):
+# (RB, TB) = (512, 1024) maximizes BOTH the all-pairs rate (3.5e6
+# rays/s small) and the Morton-culled rate (1.2e6 at 97k tris) — grid
+# overhead per (ray, tri) tile visit dominates the culled path, so
+# fewer/larger triangle tiles beat finer AABB granularity; RB=1024 or
+# TB=2048 regress 5-10%.
 RB = 512              # rays per tile
-TB = 512              # triangles per tile
+TB = 1024             # triangles per tile
 BIG = 3.4e38
 
 
@@ -319,17 +325,28 @@ def use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+@functools.lru_cache(maxsize=1)
+def _argsort_ok() -> bool:
+    """One-time capability probe: older axon PJRT stacks hit a jax
+    lowering KeyError on argsort inside jit (closed_call cache miss);
+    newer ones are fine.  Probe once instead of hard-gating by backend
+    so ray sorting (the large-scene cull enabler) turns on wherever the
+    stack supports it."""
+    try:
+        v = jax.jit(lambda x: jnp.argsort(x))(jnp.arange(8)[::-1])
+        jax.block_until_ready(v)
+        return True
+    except Exception:
+        return False
+
+
 def mt_intersection(origin, direction, tris: PallasTriangles,
                     exclude_triangle=None, interpret=False):
     """Closest hit; same contract as ``geometry.scene_intersection``."""
     R = origin.shape[0]
     if exclude_triangle is None:
         exclude_triangle = jnp.full((R,), -1, dtype=jnp.int32)
-    # this deployment's TPU stack (axon PJRT, which reports
-    # default_backend() == "tpu") hits a jax lowering KeyError on argsort
-    # inside this jit (closed_call cache miss), so ray sorting stays off
-    # TPU here; the per-tile AABB/current-best-t gate still culls
-    sort_rays = tris.culled and jax.default_backend() == "cpu"
+    sort_rays = tris.culled and _argsort_ok()
     if tris.culled:
         # exclude/result ids are ORIGINAL triangle ids; the kernel works
         # in Morton-sorted ids
@@ -338,10 +355,6 @@ def mt_intersection(origin, direction, tris: PallasTriangles,
             tris.inv_perm[jnp.clip(exclude_triangle, 0, tris.num - 1)],
             -1)
     if sort_rays:
-        # NOTE: the axon PJRT plugin hits a jax lowering KeyError on
-        # argsort inside this jit (closed_call cache miss) — on that
-        # backend rays go unsorted; the per-tile AABB/current-best-t gate
-        # still culls, just with lower skip rates
         order = jnp.argsort(_ray_sort_keys(origin, direction, tris))
         origin = origin[order]
         direction = direction[order]
