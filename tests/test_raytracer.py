@@ -214,3 +214,42 @@ class TestStochasticSynthesis:
         assert np.abs(tail).max() > 0
         # decays overall
         assert np.square(tail[-2000:]).sum() < np.square(tail[:2000]).sum()
+
+
+class TestTraceJitRecompileStability:
+    def test_padded_depth_matches_plain_trace(self):
+        """trace_jit's padded depth + traced active_depth must reproduce
+        the unpadded trace exactly (masked bounces deposit nothing)."""
+        import jax
+        from wayverb_tpu.raytracer.tracer import trace, trace_jit
+        soup = box_scene(Box((0, 0, 0), (4.0, 3.0, 5.0)))
+        surfaces = Surface(absorption=jnp.full((1, 8), 0.2),
+                           scattering=jnp.full((1, 8), 0.15))
+        key = jax.random.PRNGKey(3)
+        kw = dict(num_rays=256, depth=5, max_time=0.3)
+        a = trace(soup, surfaces, (1.0, 1.0, 1.0), (3.0, 2.0, 4.0), key,
+                  **kw)
+        b = trace_jit(soup, surfaces, (1.0, 1.0, 1.0), (3.0, 2.0, 4.0),
+                      key, **kw)
+        nb = a.histogram.shape[0]
+        np.testing.assert_allclose(np.asarray(b.histogram[:nb]),
+                                   np.asarray(a.histogram), atol=1e-6)
+        assert np.all(np.asarray(b.histogram[nb:]) == 0.0)
+
+    def test_absorption_sweep_does_not_recompile(self):
+        """Changing absorption (→ different optimum reflection count and
+        horizon) must reuse ONE compiled executable per padded bucket
+        (VERDICT r3/r4 recompile cliffs)."""
+        import jax
+        from wayverb_tpu.raytracer import tracer as trc
+        soup = box_scene(Box((0, 0, 0), (4.0, 3.0, 5.0)))
+        key = jax.random.PRNGKey(4)
+        trc._trace_jit._clear_cache()
+        for depth, mt, a in ((5, 0.28, 0.2), (7, 0.31, 0.1),
+                             (6, 0.26, 0.3)):
+            surfaces = Surface(absorption=jnp.full((1, 8), a),
+                               scattering=jnp.full((1, 8), 0.15))
+            trc.trace_jit(soup, surfaces, (1.0, 1.0, 1.0),
+                          (3.0, 2.0, 4.0), key, num_rays=256,
+                          depth=depth, max_time=mt)
+        assert trc._trace_jit._cache_size() == 1

@@ -272,3 +272,50 @@ class TestShardedStability:
             ps.make_device_mesh(4), mesh.structure, mesh.box_spec,
             source, recv, 40)
         assert not bool(out["stable"])
+
+
+class TestShardedMultiband:
+    def test_vmapped_bands_match_sequential(self, aligned_mesh):
+        """band_stacks vmap INSIDE shard_map (SURVEY §2.6 vmap-over-bands
+        under a device mesh) must reproduce the sequential per-band
+        sharded loop."""
+        import wayverb_tpu.waveguide.run as wgrun2
+        mesh = aligned_mesh
+        absorption = np.stack([np.linspace(0.05, 0.3, 8),
+                               np.linspace(0.1, 0.2, 8)])[:1]
+        devmesh = ps.make_device_mesh(4)
+        kw = dict(source_position=(1.0, 1.2, 1.5),
+                  receiver_position=(0.4, 1.9, 2.3),
+                  simulation_time=0.01, num_bands=3,
+                  device_mesh=devmesh)
+        vm = wgrun2.canonical_multiband(mesh, absorption, use_vmap=True,
+                                        **kw)
+        sq = wgrun2.canonical_multiband(mesh, absorption, use_vmap=False,
+                                        **kw)
+        assert len(vm) == len(sq) == 3
+        for a, b in zip(vm, sq):
+            np.testing.assert_allclose(np.asarray(a.pressure),
+                                       np.asarray(b.pressure), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a.intensity),
+                                       np.asarray(b.intensity), atol=1e-5)
+            assert a.valid_hz == b.valid_hz
+
+    def test_capacity_guard_falls_back(self, aligned_mesh, monkeypatch):
+        """8 bands with a tiny memory budget must auto-fall back to the
+        sequential loop instead of OOMing (VERDICT r4 #6)."""
+        import wayverb_tpu.waveguide.run as wgrun2
+        assert wgrun2.multiband_vmap_fits(4, 1000, np.float32)
+        assert not wgrun2.multiband_vmap_fits(8, 10 ** 9, np.float32,
+                                              budget_bytes=1 << 30)
+        calls = {"n": 0}
+        orig = wgrun2.multiband_vmap_fits
+        monkeypatch.setattr(wgrun2, "multiband_vmap_fits",
+                            lambda *a, **k: False)
+        mesh = aligned_mesh
+        absorption = np.full((1, 8), 0.1)
+        bands = wgrun2.canonical_multiband(
+            mesh, absorption, (1.0, 1.2, 1.5), (0.4, 1.9, 2.3),
+            0.005, 8, use_vmap=True)
+        assert len(bands) == 8
+        for b in bands:
+            assert np.all(np.isfinite(np.asarray(b.pressure)))

@@ -413,7 +413,8 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                               receiver, num_steps: int,
                               dtype=jnp.float32, state_dtype=None,
                               axis_name: Optional[str] = None,
-                              fake_collectives: bool = False) -> dict:
+                              fake_collectives: bool = False,
+                              band_stacks=None) -> dict:
     """Sharded equivalent of run.run_waveguide_box (same outputs contract).
 
     ``device_mesh``: 1-D jax.sharding.Mesh; the grid x axis divides over
@@ -426,6 +427,12 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
     PHYSICALLY WRONG; it exists so weak-scaling sweeps on virtual CPU
     devices can measure the host's parallelism ceiling for this exact
     program and divide it out (tools/bench/weak_scaling.py).
+
+    ``band_stacks``: optional ``(coef_b, coef_a)`` PER-BAND material
+    tables, each (bands, S, order+1) — the whole solve then vmaps over
+    the band axis INSIDE shard_map (SURVEY §2.6 "vmap/pmap over bands"
+    under a device mesh; collectives batch natively) and the outputs
+    gain a leading band dimension.
     """
     if axis_name is None:
         axis_name = device_mesh.axis_names[0]
@@ -437,8 +444,12 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
     xl = X // n
 
     face_idx = jnp.asarray(spec.face_surface, dtype=jnp.int32)
-    face_b = structure.coef_b[face_idx]
-    face_a = structure.coef_a[face_idx]
+    if band_stacks is not None:
+        face_b = jnp.asarray(band_stacks[0])[:, face_idx]   # (bands, 6, o+1)
+        face_a = jnp.asarray(band_stacks[1])[:, face_idx]
+    else:
+        face_b = structure.coef_b[face_idx]
+        face_a = structure.coef_a[face_idx]
     sdtype = state_dtype if state_dtype is not None else dtype
     order = structure.filter_order
     Vmax = max(Y, Z)
@@ -700,10 +711,15 @@ def run_waveguide_box_sharded(device_mesh: Mesh, structure, spec, source,
                   else jax.lax.psum(bad, axis_name) == 0)
         return outputs, stable
 
+    if band_stacks is not None:
+        body = lambda fb, fa, src, rcv: jax.vmap(             # noqa: E731
+            lambda b, a: shard_body(b, a, src, rcv))(fb, fa)
+    else:
+        body = shard_body
     # check_vma=True is load-bearing: with it off, the transpose of the
     # per-step psum is unsound and reverse-mode silently returns garbage
     # (caught by test_gradient_through_sharded_fused)
-    fn = shard_map(shard_body, mesh=device_mesh,
+    fn = shard_map(body, mesh=device_mesh,
                    in_specs=(P(), P(), P(), P()),
                    out_specs=(P(), P()),
                    check_vma=not fake_collectives)

@@ -366,6 +366,27 @@ def canonical(mesh: Mesh, source_position, receiver_position,
                            sample_rate=fs, stable=result["stable"])
 
 
+def multiband_vmap_fits(num_bands: int, num_nodes: int, dtype,
+                        budget_bytes: Optional[int] = None) -> bool:
+    """Capacity guard for the vmapped multiband solve (VERDICT r4 #6:
+    auto-fall-back instead of OOM).
+
+    The batched scan keeps ~6 field-sized buffers per band live (cur,
+    prev ping-pong ×2 aliasing slack, plane/filter state, the spliced
+    next field); the budget defaults to the device's reported memory
+    limit (or a conservative 4 GB when the backend reports none, e.g.
+    host CPU).
+    """
+    if budget_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            budget_bytes = int(stats.get("bytes_limit", 0)) or (4 << 30)
+        except Exception:
+            budget_bytes = 4 << 30
+    need = num_bands * num_nodes * jnp.dtype(dtype).itemsize * 6
+    return need <= 0.6 * budget_bytes
+
+
 def canonical_multiband(mesh: Mesh, soup_surface_absorption, source_position,
                         receiver_position, simulation_time: float,
                         num_bands: int,
@@ -384,8 +405,12 @@ def canonical_multiband(mesh: Mesh, soup_surface_absorption, source_position,
     serial per-band reruns (``canonical.h:156-175``) become one
     ``jax.vmap`` over the stacked tables (SURVEY §2.6 "vmap/pmap over
     bands"): the whole multiband solve is a single compiled scan whose
-    batch dimension fills the chip.  ``use_vmap=False`` falls back to the
-    sequential loop (e.g. when ``bands × field`` exceeds device memory).
+    batch dimension fills the chip.  Under a ``device_mesh`` the band
+    axis vmaps INSIDE shard_map over the sharded shoebox solver
+    (collectives batch natively).  ``use_vmap=False`` forces the
+    sequential loop; with the default the runner AUTO-falls back when
+    ``bands × field`` exceeds the device memory budget
+    (``multiband_vmap_fits``) instead of OOMing.
     """
     from wayverb_tpu.signal.multiband import band_edges
     from wayverb_tpu.waveguide.postprocess import BandpassBand
@@ -394,10 +419,45 @@ def canonical_multiband(mesh: Mesh, soup_surface_absorption, source_position,
     absorption = np.asarray(soup_surface_absorption)   # (S, bands)
     edges = np.asarray(band_edges(absorption.shape[1]))
 
+    if use_vmap and not multiband_vmap_fits(num_bands,
+                                            mesh.descriptor.num_nodes,
+                                            dtype):
+        use_vmap = False
+
     def band_tables(b):
         coeffs = [bdry.to_flat_coefficients(float(absorption[s, b]))
                   for s in range(absorption.shape[0])]
         return bdry.coefficient_table(coeffs)
+
+    if (device_mesh is not None and use_vmap
+            and mesh.box_spec is not None):
+        from wayverb_tpu.parallel.box_sharded import \
+            run_waveguide_box_sharded
+        tables = [band_tables(b) for b in range(num_bands)]
+        cb_stack = jnp.stack([jnp.asarray(t[0]) for t in tables])
+        ca_stack = jnp.stack([jnp.asarray(t[1]) for t in tables])
+        desc = mesh.descriptor
+        fs = desc.sample_rate(environment.speed_of_sound)
+        num_steps = int(math.ceil(fs * simulation_time))
+        src_loc = mesh.require_inside(source_position)
+        rcv_loc = mesh.require_inside(receiver_position)
+        amplitude = rectilinear_calibration_factor(
+            desc.spacing, environment.acoustic_impedance)
+        source = HardSource(
+            node_idx=jnp.asarray(desc.flat_index(src_loc),
+                                 dtype=jnp.int32),
+            signal=impulse_signal(num_steps, amplitude))
+        receiver = make_directional_receiver(
+            desc, fs, environment.ambient_density, desc.position(rcv_loc))
+        result = run_waveguide_box_sharded(
+            device_mesh, mesh.structure, mesh.box_spec, source, receiver,
+            num_steps, dtype, band_stacks=(cb_stack, ca_stack))
+        intensities, pressures = result["outputs"]
+        return [BandpassBand(
+            pressure=pressures[b], intensity=intensities[b],
+            sample_rate=fs,
+            valid_hz=(float(edges[b]), float(edges[b + 1])))
+            for b in range(num_bands)]
 
     if device_mesh is not None or not use_vmap:
         out = []
