@@ -177,3 +177,38 @@ def test_maximum_length_sequence():
         ac = np.correlate(np.tile(s, 2), s, "valid")[:n]
         assert ac[0] == n
         assert np.allclose(ac[1:], -1.0)
+
+
+class TestBrownDudaHRTF:
+    """Default HRTF table: Brown–Duda structural model + diffuse-field
+    equalization (core/hrtf.py; reference bakes IRCAM data instead,
+    src/core/src/attenuator/hrtf.cpp:68-85)."""
+
+    def test_dfe_unit_diffuse_average(self):
+        from wayverb_tpu.core import hrtf
+        t = np.asarray(hrtf.default_hrtf_table())
+        el = (np.arange(hrtf.NUM_EL) - hrtf.NUM_EL // 2) * (
+            np.pi / hrtf.NUM_EL)
+        w = np.cos(el)[None, :, None, None]
+        avg = (t * w).sum((0, 1)) / (hrtf.NUM_AZ * w.sum((0, 1)))
+        np.testing.assert_allclose(avg, 1.0, rtol=1e-5)
+
+    def test_ild_monotone_with_frequency(self):
+        """Head shadow: a hard-right source's right/left energy ratio
+        must grow with band frequency and exceed ~3 dB by the top band."""
+        from wayverb_tpu.core import hrtf
+        t = np.asarray(hrtf.default_hrtf_table())
+        ai = hrtf.NUM_AZ // 4          # az = 90 deg = +x = right
+        mid = hrtf.NUM_EL // 2
+        ild = t[ai, mid, 1] / np.maximum(t[ai, mid, 0], 1e-12)
+        assert ild[0] < 1.1            # low bands barely lateralized
+        assert ild[-1] > 2.0
+        assert np.all(np.diff(np.log(ild[:5])) > -1e-6)
+
+    def test_pinna_notches_elevation_dependent(self):
+        """The pinna comb must make the high-band response vary with
+        elevation (the cue the flat spherical head lacks)."""
+        from wayverb_tpu.core import hrtf
+        t = np.asarray(hrtf.default_hrtf_table())
+        front = t[0, :, 1, -2]         # az=0 column over elevations
+        assert front.max() / max(front.min(), 1e-12) > 1.2
