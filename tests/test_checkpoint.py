@@ -2,6 +2,7 @@
 a snapshot written to disk must restore bit-exactly."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from wayverb_tpu.core.environment import Environment
@@ -58,3 +59,51 @@ def test_save_load_roundtrip(tmp_path):
     state_b, out2a = ck.run_chunk(mesh, source, receiver, state, 50)
     restored, out2b = ck.run_chunk(mesh, source, receiver, restored, 50)
     np.testing.assert_array_equal(np.asarray(out2a), np.asarray(out2b))
+
+
+class TestCancellable:
+    def test_cancel_mid_run_and_resume(self):
+        """run_cancellable stops between chunks when keep_going flips,
+        raises Cancelled with a RESUMABLE state, and resuming reproduces
+        the uncancelled run exactly (reference keep_going contract,
+        waveguide.h:80 / threaded_engine.cpp:55-57)."""
+        from wayverb_tpu.waveguide.checkpoint import (Cancelled,
+                                                      run_cancellable)
+        mesh, source, receiver, steps = _setup()
+        steps = 24
+        full_state, full_out = run_cancellable(
+            mesh, source, receiver, steps, keep_going=lambda: True,
+            chunk=8)
+
+        calls = {"n": 0}
+
+        def kg():
+            calls["n"] += 1
+            return calls["n"] <= 2          # allow two chunks, then stop
+
+        with pytest.raises(Cancelled) as exc:
+            run_cancellable(mesh, source, receiver, steps, keep_going=kg,
+                            chunk=8)
+        part = exc.value
+        assert part.state.step == 16
+        np.testing.assert_allclose(
+            np.asarray(part.outputs),
+            np.asarray(full_out)[:16], atol=0)
+
+        state, rest = run_cancellable(
+            mesh, source, receiver, steps - part.state.step,
+            keep_going=lambda: True, chunk=8, state=part.state)
+        np.testing.assert_allclose(
+            np.asarray(rest), np.asarray(full_out)[16:], atol=0)
+        assert state.step == steps
+
+    def test_progress_callback(self):
+        from wayverb_tpu.waveguide.checkpoint import run_cancellable
+        mesh, source, receiver, steps = _setup()
+        steps = 24
+        seen = []
+        run_cancellable(mesh, source, receiver, steps,
+                        keep_going=lambda: True, chunk=10,
+                        on_progress=lambda s, t: seen.append((s, t)))
+        assert seen[-1] == (steps, steps)
+        assert [s for s, _ in seen] == [10, 20, 24]

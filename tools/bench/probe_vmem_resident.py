@@ -1,11 +1,16 @@
-"""Probe: VMEM-resident multi-step leapfrog feasibility on the real chip.
+"""Probe: VMEM-resident multi-step leapfrog — fields in HBM refs, DMA'd
+to VMEM scratch for K steps (the design that became box_mega.py).
 
-Question for the round-4 mega-kernel design: can the whole pressure field
-ping-pong (2 x (X, Y, Z) f32 buffers) live in VMEM across K time steps per
-pallas_call, and what updates/s does the in-VMEM stencil sustain when HBM
-traffic is amortized to ~(4 fields / K steps)?
+Supersedes the round-4 probe A (VMEM-blockspec in/out), whose finding is
+kept for the record: pallas allocates input AND output VMEM copies even
+with input_output_aliases, so the 2-buffer ping-pong costs 4x field VMEM
+and caps the shape at half the budget — HBM refs + explicit DMA is the
+viable form.
 
-Run on TPU:  python tools/bench/probe_vmem_resident.py
+Avoids the probe-A failure (pallas allocates input AND output VMEM copies
+even with input_output_aliases, so 4x field VMEM): in/out live in ANY/HBM,
+the kernel DMAs them into two VMEM scratch buffers, runs K leapfrog steps,
+and DMAs back.  VMEM = 2 x field + slack.
 """
 
 import functools
@@ -22,7 +27,6 @@ C2 = 1.0 / 3.0
 
 
 def _substep(dst, src, X, Y, Z, xt=8):
-    """dst[:] = C2 * neighbor_sum(src) - dst[:], slab by slab."""
     nb = X // xt
 
     def slab(j, _):
@@ -47,16 +51,23 @@ def _substep(dst, src, X, Y, Z, xt=8):
     jax.lax.fori_loop(0, nb, slab, 0)
 
 
-def _kernel(cur_ref, prev_ref, cur_out, prev_out, *, X, Y, Z, K):
-    # K sub-steps; 2 per fori iteration so buffer roles stay static
+def _kernel(cur_hbm, prev_hbm, cur_out, prev_out, a, b, sems,
+            *, X, Y, Z, K):
+    pltpu.make_async_copy(cur_hbm, a, sems.at[0]).start()
+    pltpu.make_async_copy(prev_hbm, b, sems.at[1]).start()
+    pltpu.make_async_copy(cur_hbm, a, sems.at[0]).wait()
+    pltpu.make_async_copy(prev_hbm, b, sems.at[1]).wait()
+
     def two(i, _):
-        _substep(prev_ref, cur_ref, X, Y, Z)   # prev <- next(t)
-        _substep(cur_ref, prev_ref, X, Y, Z)   # cur  <- next(t+1)
+        _substep(b, a, X, Y, Z)
+        _substep(a, b, X, Y, Z)
         return 0
 
     jax.lax.fori_loop(0, K // 2, two, 0)
-    cur_out[...] = cur_ref[...]
-    prev_out[...] = prev_ref[...]
+    pltpu.make_async_copy(a, cur_out, sems.at[0]).start()
+    pltpu.make_async_copy(b, prev_out, sems.at[1]).start()
+    pltpu.make_async_copy(a, cur_out, sems.at[0]).wait()
+    pltpu.make_async_copy(b, prev_out, sems.at[1]).wait()
 
 
 def make_run(X, Y, Z, K, limit_mb=128):
@@ -65,10 +76,13 @@ def make_run(X, Y, Z, K, limit_mb=128):
         kern,
         out_shape=(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
                    jax.ShapeDtypeStruct((X, Y, Z), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[pltpu.VMEM((X, Y, Z), jnp.float32),
+                        pltpu.VMEM((X, Y, Z), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=limit_mb * 1024 * 1024),
@@ -88,13 +102,13 @@ def make_run(X, Y, Z, K, limit_mb=128):
 def main():
     print(jax.devices())
     results = {}
-    for (X, Y, Z) in [(128, 224, 256), (160, 224, 256), (192, 224, 256),
-                      (224, 224, 256)]:
-        for K in (16, 64):
+    for (X, Y, Z, lim) in [(128, 224, 256, 128), (192, 224, 256, 128),
+                           (224, 224, 256, 120), (224, 224, 256, 127)]:
+        for K in (64,):
             mb = 2 * X * Y * Z * 4 / 1e6
-            key = f"{X}x{Y}x{Z}_K{K}"
+            key = f"{X}x{Y}x{Z}_K{K}_lim{lim}"
             try:
-                run = make_run(X, Y, Z, K)
+                run = make_run(X, Y, Z, K, lim)
                 cur = jnp.zeros((X, Y, Z), jnp.float32).at[X // 2, Y // 2,
                                                            Z // 2].set(1.0)
                 prev = jnp.zeros((X, Y, Z), jnp.float32)
@@ -114,8 +128,8 @@ def main():
                 print(key, results[key], flush=True)
             except Exception as e:  # noqa: BLE001
                 results[key] = {"ok": False, "buffers_mb": round(mb, 1),
-                                "err": str(e)[-300:]}
-                print(key, "FAIL", str(e)[-300:], flush=True)
+                                "err": str(e)[-200:]}
+                print(key, "FAIL", str(e)[-200:], flush=True)
     print(json.dumps(results))
 
 

@@ -9,7 +9,7 @@ IIR filter state live in VMEM *scratch* for K consecutive time steps per
 amortized to ~(4/K) fields per step, so the solver becomes VMEM-bandwidth
 bound: 1.2e11 node-updates/s measured for the bare stencil at 224×224×256
 — ~1.8× the HBM speed-of-light roofline of the one-step design
-(tools/bench/probe_vmem_resident2.py).
+(tools/bench/probe_vmem_resident.py).
 
 Because the field is resident, the boundary-plane pressures that round 3
 carried between steps (to avoid ~50 µs XLA strided plane slices) are now

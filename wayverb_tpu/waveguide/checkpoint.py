@@ -138,3 +138,56 @@ def load_state(path: str, mesh: Mesh, receiver,
     return WaveguideState(current=current, previous=previous,
                           boundary_state=bstate, receiver_state=rstate,
                           step=int(data["step"]), stable=stable)
+
+
+class Cancelled(Exception):
+    """Raised by run_cancellable when keep_going() goes False; carries the
+    resumable state and the outputs accumulated so far."""
+
+    def __init__(self, state: WaveguideState, outputs):
+        super().__init__(f"cancelled at step {state.step}")
+        self.state = state
+        self.outputs = outputs
+
+
+def run_cancellable(mesh: Mesh, source, receiver, num_steps: int,
+                    keep_going, chunk: int = 512,
+                    state: Optional[WaveguideState] = None,
+                    on_progress=None, dtype=jnp.float32,
+                    kernel_inject: bool = True):
+    """Chunked solve with COOPERATIVE CANCELLATION between chunks — the
+    reference's ``std::atomic_bool keep_going`` analogue
+    (``waveguide/waveguide.h:80``, ``threaded_engine.cpp:55-57``), which a
+    single fused scan cannot offer (nothing re-enters Python mid-run).
+
+    ``keep_going``: zero-arg callable (e.g. ``threading.Event().is_set``
+    inverted, or a UI flag) polled before every chunk.  On False the run
+    raises :class:`Cancelled` carrying the RESUMABLE state (feed it back
+    via ``state=`` to continue, or ``save_state`` it) plus the outputs
+    accumulated so far — matching the reference's contract that a
+    cancelled render yields no final result but stays restartable.
+
+    ``on_progress(step, num_steps)`` fires after each chunk.
+    Returns ``(state, outputs)`` with outputs concatenated over chunks.
+    """
+    if state is None:
+        state = initial_state(mesh, receiver, dtype)
+    target = state.step + num_steps
+    pieces = []
+
+    def _cat(chunks):
+        if not chunks:
+            return None
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+    while state.step < target:
+        if not keep_going():
+            raise Cancelled(state, _cat(pieces))
+        n = min(chunk, target - state.step)
+        state, out = run_chunk(mesh, source, receiver, state, n,
+                               kernel_inject=kernel_inject)
+        pieces.append(out)
+        if on_progress is not None:
+            on_progress(state.step, target)
+    return state, _cat(pieces)
