@@ -186,3 +186,54 @@ class TestPlyAdviceFixes:
         p.write_bytes(header + body)
         with pytest.raises(ValueError, match="list property"):
             load_scene(str(p))
+
+
+DAE_DOC = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+ <library_geometries>
+  <geometry id="box" name="box">
+   <mesh>
+    <source id="box-pos">
+     <float_array id="box-pos-array" count="12">
+       0 0 0  2 0 0  2 1 0  0 1 0</float_array>
+    </source>
+    <vertices id="box-vtx">
+     <input semantic="POSITION" source="#box-pos"/>
+    </vertices>
+    <triangles material="wall" count="1">
+     <input semantic="VERTEX" source="#box-vtx" offset="0"/>
+     <input semantic="NORMAL" source="#box-pos" offset="1"/>
+     <p>0 0 1 1 2 2</p>
+    </triangles>
+    <polylist material="floor" count="1">
+     <input semantic="VERTEX" source="#box-vtx" offset="0"/>
+     <vcount>4</vcount>
+     <p>0 1 2 3</p>
+    </polylist>
+   </mesh>
+  </geometry>
+ </library_geometries>
+</COLLADA>
+"""
+
+
+class TestDae:
+    def test_triangles_polylist_and_materials(self, tmp_path):
+        path = tmp_path / "room.dae"
+        path.write_text(DAE_DOC)
+        sd = load_scene(str(path))
+        tris = np.asarray(sd.soup.triangles)
+        # 1 <triangles> + quad fan-triangulated into 2
+        assert tris.shape == (3, 3)
+        assert sd.material_names == ["wall", "floor"]
+        surf = np.asarray(sd.soup.surfaces)
+        assert surf.tolist() == [0, 1, 1]
+        v = np.asarray(sd.soup.vertices)
+        # interleaved vertex/normal offsets decoded: triangle 0 uses
+        # vertices 0,1,2 of the positions block
+        np.testing.assert_allclose(v[tris[0]],
+                                   [[0, 0, 0], [2, 0, 0], [2, 1, 0]])
+
+    def test_unknown_ext_lists_dae(self, tmp_path):
+        with pytest.raises(ValueError, match="dae"):
+            load_scene(str(tmp_path / "x.fbx"))

@@ -291,12 +291,118 @@ def load_off(path: str) -> SceneData:
     return _soup_scene(vertices, triangles, path)
 
 
+
+
+def load_dae(path: str) -> SceneData:
+    """COLLADA (.dae) loader: <library_geometries> triangles/polylist
+    primitives with per-primitive material slots (reference loads DAE via
+    assimp, ``src/core/src/scene_data_loader.cpp:100``; this is a direct
+    stdlib-XML reader for the geometry subset a room model needs —
+    <triangles> and convex <polylist> fan-triangulated, Y-up/Z-up spaces
+    passed through untransformed)."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    # namespace-agnostic tag matcher (COLLADA 1.4/1.5 namespaces differ)
+    def tag(e):
+        return e.tag.rsplit("}", 1)[-1]
+
+    def findall(e, name):
+        return [c for c in e.iter() if tag(c) == name]
+
+    vertices = []
+    triangles = []
+    surfaces = []
+    material_names = []
+    mat_slot = {}
+
+    def slot(name):
+        if name not in mat_slot:
+            mat_slot[name] = len(material_names)
+            material_names.append(name)
+        return mat_slot[name]
+
+    for geom in findall(root, "geometry"):
+        meshes = findall(geom, "mesh")
+        if not meshes:
+            continue
+        mesh = meshes[0]
+        # id -> float_array positions
+        sources = {}
+        for src in findall(mesh, "source"):
+            arrs = findall(src, "float_array")
+            if arrs:
+                sources["#" + src.get("id", "")] = np.fromstring(
+                    arrs[0].text or "", sep=" ").reshape(-1, 3)                     if arrs[0].text else np.zeros((0, 3))
+        # <vertices> indirection
+        vert_src = {}
+        for v in findall(mesh, "vertices"):
+            for inp in findall(v, "input"):
+                if inp.get("semantic") == "POSITION":
+                    vert_src["#" + v.get("id", "")] =                         sources.get(inp.get("source"), np.zeros((0, 3)))
+
+        for prim in list(mesh):
+            name = tag(prim)
+            if name not in ("triangles", "polylist"):
+                continue
+            pos = None
+            stride = 1
+            offset = 0
+            for inp in findall(prim, "input"):
+                stride = max(stride, int(inp.get("offset", 0)) + 1)
+                if inp.get("semantic") == "VERTEX":
+                    offset = int(inp.get("offset", 0))
+                    pos = vert_src.get(inp.get("source"))                         if inp.get("source") in vert_src                         else sources.get(inp.get("source"))
+            if pos is None or pos.size == 0:
+                continue
+            base = len(vertices)
+            vertices.extend(pos.tolist())
+            sid = slot(prim.get("material") or "default")
+            ps = findall(prim, "p")
+            if not ps or not ps[0].text:
+                continue
+            idx = np.array(ps[0].text.split(), dtype=np.int64)
+            vidx = idx[offset::stride]
+            if name == "triangles":
+                faces = vidx.reshape(-1, 3)
+                for f in faces:
+                    triangles.append((base + f[0], base + f[1],
+                                      base + f[2]))
+                    surfaces.append(sid)
+            else:                              # polylist: fan-triangulate
+                counts = np.array(
+                    findall(prim, "vcount")[0].text.split(),
+                    dtype=np.int64)
+                k = 0
+                for c in counts:
+                    poly = vidx[k:k + c]
+                    k += c
+                    for i in range(1, int(c) - 1):
+                        triangles.append((base + poly[0], base + poly[i],
+                                          base + poly[i + 1]))
+                        surfaces.append(sid)
+
+    if not triangles:
+        raise ValueError(f"{path}: no triangle geometry found")
+    tri_arr = np.asarray(triangles, dtype=np.int32)
+    if tri_arr.min() < 0 or tri_arr.max() >= len(vertices):
+        raise ValueError(f"{path}: face references out-of-range vertex")
+    soup = TriangleSoup(
+        vertices=jnp.asarray(np.asarray(vertices, dtype=np.float32)),
+        triangles=jnp.asarray(tri_arr),
+        surfaces=jnp.asarray(np.asarray(surfaces, dtype=np.int32)),
+    )
+    return SceneData(soup=soup,
+                     material_names=material_names or ["default"])
+
+
 _LOADERS = {".obj": load_obj, ".ply": load_ply, ".stl": load_stl,
-            ".off": load_off}
+            ".off": load_off, ".dae": load_dae}
 
 
 def load_scene(path: str) -> SceneData:
-    """Load a scene by file extension (obj/ply/stl/off)."""
+    """Load a scene by file extension (obj/ply/stl/off/dae)."""
     ext = os.path.splitext(path)[1].lower()
     if ext not in _LOADERS:
         raise ValueError(
