@@ -237,3 +237,35 @@ class TestDae:
     def test_unknown_ext_lists_dae(self, tmp_path):
         with pytest.raises(ValueError, match="dae"):
             load_scene(str(tmp_path / "x.fbx"))
+
+
+DXF_DOC = "\n".join([
+    "0", "SECTION", "2", "ENTITIES",
+    # quad on layer "wall"
+    "0", "3DFACE", "8", "wall",
+    "10", "0", "20", "0", "30", "0",
+    "11", "2", "21", "0", "31", "0",
+    "12", "2", "22", "1", "32", "0",
+    "13", "0", "23", "1", "33", "0",
+    # triangle (corner 3 == corner 2) on layer "floor"
+    "0", "3DFACE", "8", "floor",
+    "10", "0", "20", "0", "30", "1",
+    "11", "2", "21", "0", "31", "1",
+    "12", "2", "22", "1", "32", "1",
+    "13", "2", "23", "1", "33", "1",
+    "0", "ENDSEC", "0", "EOF",
+]) + "\n"
+
+
+class TestDxf:
+    def test_3dface_quads_and_layers(self, tmp_path):
+        path = tmp_path / "room.dxf"
+        path.write_text(DXF_DOC)
+        sd = load_scene(str(path))
+        tris = np.asarray(sd.soup.triangles)
+        assert tris.shape == (3, 3)       # quad -> 2, triangle -> 1
+        assert sd.material_names == ["wall", "floor"]
+        assert np.asarray(sd.soup.surfaces).tolist() == [0, 0, 1]
+        v = np.asarray(sd.soup.vertices)
+        np.testing.assert_allclose(v[tris[0]],
+                                   [[0, 0, 0], [2, 0, 0], [2, 1, 0]])

@@ -397,12 +397,86 @@ def load_dae(path: str) -> SceneData:
                      material_names=material_names or ["default"])
 
 
+
+
+def load_dxf(path: str) -> SceneData:
+    """AutoCAD DXF loader: 3DFACE entities (+ closed POLYLINE meshes are
+    out of scope) — the common interchange form for room shells
+    (reference loads DXF via assimp, ``scene_data_loader.cpp:100``).
+    DXF is group-code/value pairs; a 3DFACE carries four corners
+    (10/20/30 .. 13/23/33); triangular faces repeat the last corner.
+    Faces map to material slots by their layer name (group 8)."""
+    vertices = []
+    triangles = []
+    surfaces = []
+    material_names = []
+    mat_slot = {}
+
+    def slot(name):
+        if name not in mat_slot:
+            mat_slot[name] = len(material_names)
+            material_names.append(name)
+        return mat_slot[name]
+
+    with open(path, "r", errors="replace") as fh:
+        lines = [ln.strip() for ln in fh]
+    i = 0
+    n = len(lines)
+    while i + 1 < n:
+        code, value = lines[i], lines[i + 1]
+        i += 2
+        if code != "0" or value.upper() != "3DFACE":
+            continue
+        corners = {}
+        layer = "default"
+        while i + 1 < n:
+            code, value = lines[i], lines[i + 1]
+            if code == "0":
+                break
+            i += 2
+            if code == "8":
+                layer = value or "default"
+                continue
+            try:
+                gc = int(code)
+            except ValueError:
+                continue
+            if 10 <= gc <= 13 or 20 <= gc <= 23 or 30 <= gc <= 33:
+                corners[gc] = float(value)
+        pts = []
+        for k in range(4):
+            if 10 + k in corners:
+                pts.append((corners.get(10 + k, 0.0),
+                            corners.get(20 + k, 0.0),
+                            corners.get(30 + k, 0.0)))
+        if len(pts) < 3:
+            continue
+        sid = slot(layer)
+        base = len(vertices)
+        vertices.extend(pts)
+        triangles.append((base, base + 1, base + 2))
+        surfaces.append(sid)
+        if len(pts) == 4 and pts[3] != pts[2]:
+            triangles.append((base, base + 2, base + 3))
+            surfaces.append(sid)
+
+    if not triangles:
+        raise ValueError(f"{path}: no 3DFACE geometry found")
+    soup = TriangleSoup(
+        vertices=jnp.asarray(np.asarray(vertices, dtype=np.float32)),
+        triangles=jnp.asarray(np.asarray(triangles, dtype=np.int32)),
+        surfaces=jnp.asarray(np.asarray(surfaces, dtype=np.int32)),
+    )
+    return SceneData(soup=soup,
+                     material_names=material_names or ["default"])
+
+
 _LOADERS = {".obj": load_obj, ".ply": load_ply, ".stl": load_stl,
-            ".off": load_off, ".dae": load_dae}
+            ".off": load_off, ".dae": load_dae, ".dxf": load_dxf}
 
 
 def load_scene(path: str) -> SceneData:
-    """Load a scene by file extension (obj/ply/stl/off/dae)."""
+    """Load a scene by file extension (obj/ply/stl/off/dae/dxf)."""
     ext = os.path.splitext(path)[1].lower()
     if ext not in _LOADERS:
         raise ValueError(
