@@ -119,7 +119,7 @@ def bench_waveguide_forward(platform):
         def forward():
             out = run_waveguide_box_mega(
                 mesh.structure, mesh.box_spec, source, receiver, steps,
-                chunk=64)
+                chunk=128)
             return float(jnp.sum(out["outputs"]))
 
         dt, _ = _time_scalar_fn(forward)
@@ -191,7 +191,7 @@ def bench_waveguide_mega(platform):
 
     def forward():
         out = run_waveguide_box_mega(mesh.structure, mesh.box_spec,
-                                     source, receiver, steps, chunk=64)
+                                     source, receiver, steps, chunk=128)
         return float(jnp.sum(out["outputs"]))
 
     dt_f, _ = _time_scalar_fn(forward)
@@ -200,7 +200,7 @@ def bench_waveguide_mega(platform):
     grad_src = HardSource(node_idx=source.node_idx,
                           signal=impulse_signal(bwd_steps, 1.0))
     f = mega_canonical_loss_fn(mesh.structure, mesh.box_spec, grad_src,
-                               receiver, bwd_steps, chunk=64)
+                               receiver, bwd_steps, chunk=128)
     face_idx = np.asarray(mesh.box_spec.face_surface)
 
     def loss(coef_b):

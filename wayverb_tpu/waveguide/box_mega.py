@@ -1200,15 +1200,17 @@ def _jitted_runner(spec: BoxSpec, chunk: int, k: int, order: int,
 
 
 def run_waveguide_box_mega(structure, spec: BoxSpec, source, receiver,
-                           num_steps: int, chunk: int = 64,
+                           num_steps: int, chunk: int = 128,
                            dtype=jnp.float32, interpret: bool = False
                            ) -> dict:
     """Mega-path twin of run.run_waveguide_box (same outputs contract).
 
     ``chunk``: sub-steps per pallas_call (even; HBM traffic ~4 fields per
-    chunk).  Trailing steps are padded with zero signal; padded taps are
-    discarded (the post-``num_steps`` field state is not part of the
-    outputs contract beyond the stability check).
+    chunk — K=128 swept best on v5e at 224³, r5: fewer host dispatches
+    and chunk-boundary swaps than 64, flat beyond).  Trailing steps are
+    padded with zero signal; padded taps are discarded (the
+    post-``num_steps`` field state is not part of the outputs contract
+    beyond the stability check).
 
     Host-side bookkeeping (receiver tap coordinates) requires CONCRETE
     source/receiver index arrays — call outside jit; the hot loop inside
@@ -1239,7 +1241,7 @@ def run_waveguide_box_mega(structure, spec: BoxSpec, source, receiver,
 
 
 def mega_canonical_loss_fn(structure, spec, source, receiver, num_steps,
-                           chunk: int = 64, interpret: bool = False):
+                           chunk: int = 128, interpret: bool = False):
     """Differentiable (coef_b, coef_a, signal) → (taps, stable) closure on
     the mega path, for gradient-based workflows and the bench backward.
 
