@@ -111,11 +111,10 @@ def bench_waveguide_forward(platform):
     extra = {}
     use_mega = mega_supported(mesh.box_spec, source, receiver)
     if use_mega:
-        # r4 flagship: VMEM-resident multi-step mega-kernel — the field
+        # flagship: VMEM-resident multi-step mega-kernel — the field
         # ping-pong + carried boundary planes + IIR state live in VMEM
-        # for 64 steps per pallas_call (HBM ~4 fields per chunk); the
-        # r4.2 slab-wise plane restructure compiles in ~20 s and runs at
-        # 5.7e10 upd/s = 0.84 HBM-SoL at this shape (MEGA_NOTES.md)
+        # for 128 steps per pallas_call (HBM ~4 fields per chunk);
+        # ~5.7e10 upd/s at this shape on v5e (MEGA_NOTES.md r5)
         def forward():
             out = run_waveguide_box_mega(
                 mesh.structure, mesh.box_spec, source, receiver, steps,
