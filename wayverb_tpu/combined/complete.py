@@ -66,10 +66,13 @@ def run_project(project: Project, soup: TriangleSoup, key,
     channels: List[RenderedChannel] = []
     pairs = [(s, r) for s in project.sources for r in project.receivers]
     for i, (src, rcv) in enumerate(pairs):
-        state_callback(f"rendering {src.name} -> {rcv.name}",
-                       i / max(len(pairs), 1))
+        base = i / max(len(pairs), 1)
+        state_callback(f"rendering {src.name} -> {rcv.name}", base)
         pair_key = jax.random.fold_in(key, i)
-        results = e.run(src.position, rcv.position, pair_key, rt_params)
+        results = e.run(
+            src.position, rcv.position, pair_key, rt_params,
+            state_callback=lambda ph, base=base, src=src, rcv=rcv:
+            state_callback(f"{ph} {src.name} -> {rcv.name}", base))
         for j, capsule in enumerate(rcv.capsules):
             method = capsule.build(rcv.pointing)
             signal = eng.render(results, method,

@@ -117,12 +117,24 @@ class Engine:
     def run(self, source, receiver, key,
             raytracer_params: RaytracerParameters = RaytracerParameters(),
             waveguide_time: Optional[float] = None,
-            time_quantum: float = 0.1) -> CombinedResults:
+            time_quantum: float = 0.1,
+            state_callback=None) -> CombinedResults:
         """``waveguide_time``: fix the waveguide duration statically and the
         whole run jits without data-dependent recompiles; when None it is
         derived from the trace (one host sync) and rounded UP to
         ``time_quantum`` so near-identical scenes reuse the compiled
-        waveguide scan instead of recompiling per duration."""
+        waveguide scan instead of recompiling per duration.
+
+        ``state_callback(state)``: optional per-phase hook mirroring the
+        reference engine's state enum (``engine.h:38-48``:
+        starting_raytracer/running_raytracer/…); callers use it for
+        progress UIs and COOPERATIVE CANCELLATION between phases (raise
+        from the callback to abort, the reference ``keep_going``
+        contract)."""
+        def phase(name):
+            if state_callback is not None:
+                state_callback(name)
+
         env = self.environment
         min_absorption = float(jnp.min(self.surfaces.absorption))
         depth = tracer.compute_optimum_reflection_number(
@@ -133,6 +145,7 @@ class Engine:
         # (compute_optimum_reflection_number is a sufficiency bound)
         depth = -(-depth // 8) * 8
 
+        phase("running_raytracer")
         trace_res = tracer.trace_jit(
             self.soup, self.surfaces, source, receiver, key,
             num_rays=raytracer_params.rays, depth=depth,
@@ -143,6 +156,7 @@ class Engine:
                 raytracer_params.maximum_image_source_order),
             accel=self.ray_grid)
 
+        phase("finding_image_sources")
         image_source = find_image_source_impulses(
             trace_res.triangle_history, self.soup, self.surfaces,
             source, receiver,
@@ -161,6 +175,7 @@ class Engine:
             max_stochastic_time = time_quantum * math.ceil(
                 trace_res.max_time() / time_quantum)
 
+        phase("running_waveguide")
         if self.waveguide_params.bands > 1:
             bands = wgrun.canonical_multiband(
                 self.mesh, np.asarray(self.surfaces.absorption), source,
@@ -191,6 +206,7 @@ class Engine:
                 sample_rate=wg_out.sample_rate,
                 valid_hz=(0.0, self.waveguide_params.cutoff))]
 
+        phase("finishing")
         return CombinedResults(
             image_source=image_source,
             stochastic_histogram=trace_res.histogram,
