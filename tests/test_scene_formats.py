@@ -236,7 +236,7 @@ class TestDae:
 
     def test_unknown_ext_lists_dae(self, tmp_path):
         with pytest.raises(ValueError, match="dae"):
-            load_scene(str(tmp_path / "x.fbx"))
+            load_scene(str(tmp_path / "x.3ds"))
 
 
 DXF_DOC = "\n".join([
@@ -269,3 +269,86 @@ class TestDxf:
         v = np.asarray(sd.soup.vertices)
         np.testing.assert_allclose(v[tris[0]],
                                    [[0, 0, 0], [2, 0, 0], [2, 1, 0]])
+
+
+def _fbx_node(name, props, children=b"", wide=False):
+    """Encode one binary-FBX node record (test-local writer)."""
+    prop_blob = b"".join(props)
+    name_b = name.encode()
+    sentinel = b"\x00" * (25 if wide else 13)
+    body = bytes([len(name_b)]) + name_b + prop_blob + children + \
+        (sentinel if children else b"")
+    hdr_fmt = "<QQQ" if wide else "<III"
+    hdr_len = struct.calcsize(hdr_fmt)
+    # end offset is filled relative to the stream start by the caller
+    return hdr_fmt, hdr_len, len(props), len(prop_blob), body
+
+
+def _fbx_doc(version=7400):
+    import zlib
+    wide = version >= 7500
+
+    def node(name, props, children=b""):
+        hdr_fmt, hdr_len, np_, plen, body = _fbx_node(name, props,
+                                                      children, wide)
+        return hdr_fmt, hdr_len, np_, plen, body
+
+    def emit(stream_off, name, props, children_fn=None):
+        hdr_fmt = "<QQQ" if wide else "<III"
+        hdr_len = struct.calcsize(hdr_fmt)
+        name_b = name.encode()
+        prop_blob = b"".join(props)
+        inner_off = stream_off + hdr_len + 1 + len(name_b) + len(prop_blob)
+        children = b""
+        if children_fn:
+            for cname, cprops, cgrand in children_fn:
+                children += emit(inner_off + len(children), cname, cprops,
+                                 cgrand)
+            children += b"\x00" * (25 if wide else 13)
+        end = inner_off + len(children)
+        return struct.pack(hdr_fmt, end, len(props), len(prop_blob)) + \
+            bytes([len(name_b)]) + name_b + prop_blob + children
+
+    def darr(values):
+        raw = struct.pack(f"<{len(values)}d", *values)
+        return b"d" + struct.pack("<III", len(values), 0, 0) + raw
+
+    def iarr(values, compress=False):
+        import zlib as z
+        raw = struct.pack(f"<{len(values)}i", *values)
+        if compress:
+            comp = z.compress(raw)
+            return b"i" + struct.pack("<III", len(values), 1,
+                                      len(comp)) + comp
+        return b"i" + struct.pack("<III", len(values), 0, 0) + raw
+
+    verts = [0, 0, 0, 2, 0, 0, 2, 1, 0, 0, 1, 0]
+    # one quad as a polygon: indices 0 1 2 3 with the last complemented
+    polys = [0, 1, 2, ~3]
+    header = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I",
+                                                               version)
+    geom = emit(len(header), "Objects", [],
+                [("Geometry", [],
+                  [("Vertices", [darr(verts)], None),
+                   ("PolygonVertexIndex", [iarr(polys, compress=True)],
+                    None)])])
+    return header + geom + b"\x00" * (25 if wide else 13)
+
+
+class TestFbx:
+    def test_binary_fbx_quad(self, tmp_path):
+        path = tmp_path / "room.fbx"
+        path.write_bytes(_fbx_doc())
+        sd = load_scene(str(path))
+        tris = np.asarray(sd.soup.triangles)
+        assert tris.shape == (2, 3)          # quad fan -> 2 triangles
+        v = np.asarray(sd.soup.vertices)
+        np.testing.assert_allclose(v[tris[0]],
+                                   [[0, 0, 0], [2, 0, 0], [2, 1, 0]])
+        assert sd.material_names == ["geometry_0"]
+
+    def test_ascii_fbx_rejected(self, tmp_path):
+        path = tmp_path / "room.fbx"
+        path.write_text("; FBX 7.4.0 project file (ASCII)")
+        with pytest.raises(ValueError, match="binary"):
+            load_scene(str(path))

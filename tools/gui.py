@@ -7,7 +7,7 @@ result.  This module reproduces that loop as ONE stdlib HTTP server plus
 a dependency-free single-page app (plain canvas — the image has no
 network for CDN scripts):
 
- * 3-D wireframe + plan views of the loaded scene (OBJ/PLY/STL/OFF via
+ * 3-D wireframe + plan views of the loaded scene (OBJ/PLY/STL/OFF/DAE/DXF/FBX via
    ``core.scene.load_scene``, or a parametric shoebox);
  * draggable source/receiver markers (plan view) + height sliders —
    validated against the mesh like ``combined/validate.py``;

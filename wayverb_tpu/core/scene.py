@@ -471,12 +471,173 @@ def load_dxf(path: str) -> SceneData:
                      material_names=material_names or ["default"])
 
 
+
+
+def load_fbx(path: str) -> SceneData:
+    """Binary FBX (Kaydara 7.x) loader: Geometry nodes' ``Vertices`` +
+    ``PolygonVertexIndex`` records, fan-triangulated (negative index =
+    XOR-complemented last corner of a polygon, per the format).  Handles
+    the 7.5+ 64-bit record headers and zlib-compressed array properties
+    with stdlib ``zlib`` (reference loads FBX via assimp,
+    ``scene_data_loader.cpp:100``).  Each Geometry maps to one material
+    slot (per-polygon material layers are collapsed)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data.startswith(b"Kaydara FBX Binary"):
+        raise ValueError(f"{path}: not a binary FBX file (ASCII FBX is "
+                         "not supported; re-export as binary)")
+    version = struct.unpack("<I", data[23:27])[0]
+    wide = version >= 7500            # 7.5+: 64-bit record headers
+    word = "<QQQ" if wide else "<III"
+    wlen = 25 if wide else 13
+
+    def read_array(buf, off, fmt, size):
+        n, enc, comp = struct.unpack("<III", buf[off:off + 12])
+        off += 12
+        if enc == 0:
+            raw = buf[off:off + n * size]
+            off += n * size
+        else:
+            raw = zlib.decompress(buf[off:off + comp])
+            off += comp
+        return list(struct.unpack(f"<{n}{fmt}", raw)), off
+
+    def read_props(buf, off, count):
+        props = []
+        for _ in range(count):
+            t = buf[off:off + 1]
+            off += 1
+            if t in (b"Y",):
+                props.append(struct.unpack("<h", buf[off:off + 2])[0])
+                off += 2
+            elif t in (b"C",):
+                props.append(bool(buf[off]))
+                off += 1
+            elif t in (b"I",):
+                props.append(struct.unpack("<i", buf[off:off + 4])[0])
+                off += 4
+            elif t in (b"F",):
+                props.append(struct.unpack("<f", buf[off:off + 4])[0])
+                off += 4
+            elif t in (b"D",):
+                props.append(struct.unpack("<d", buf[off:off + 8])[0])
+                off += 8
+            elif t in (b"L",):
+                props.append(struct.unpack("<q", buf[off:off + 8])[0])
+                off += 8
+            elif t in (b"S", b"R"):
+                n = struct.unpack("<I", buf[off:off + 4])[0]
+                props.append(buf[off + 4:off + 4 + n])
+                off += 4 + n
+            elif t == b"f":
+                arr, off = read_array(buf, off, "f", 4)
+                props.append(arr)
+            elif t == b"d":
+                arr, off = read_array(buf, off, "d", 8)
+                props.append(arr)
+            elif t == b"i":
+                arr, off = read_array(buf, off, "i", 4)
+                props.append(arr)
+            elif t == b"l":
+                arr, off = read_array(buf, off, "q", 8)
+                props.append(arr)
+            elif t == b"b":
+                arr, off = read_array(buf, off, "b", 1)
+                props.append(arr)
+            else:
+                raise ValueError(f"{path}: unknown FBX property "
+                                 f"type {t!r}")
+        return props, off
+
+    def read_node(buf, off):
+        end, num_props, _plen = struct.unpack(word,
+                                              buf[off:off + 3 * (8 if wide
+                                                                 else 4)])
+        off += 3 * (8 if wide else 4)
+        if end == 0:
+            return None, off
+        name_len = buf[off]
+        off += 1
+        name = buf[off:off + name_len].decode("ascii", "replace")
+        off += name_len
+        props, off = read_props(buf, off, num_props)
+        children = []
+        while off < end - wlen:
+            child, off = read_node(buf, off)
+            if child is None:
+                break
+            children.append(child)
+        if off < end:
+            off = end                  # skip the null sentinel
+        return (name, props, children), off
+
+    off = 27
+    top = []
+    while off < len(data) - wlen:
+        node, off = read_node(data, off)
+        if node is None:
+            break
+        top.append(node)
+
+    def iter_named(nodes, name):
+        for n in nodes:
+            if n[0] == name:
+                yield n
+            yield from iter_named(n[2], name)
+
+    vertices = []
+    triangles = []
+    surfaces = []
+    material_names = []
+    for gi, geom in enumerate(iter_named(top, "Geometry")):
+        verts = polys = None
+        for child in geom[2]:
+            if child[0] == "Vertices" and child[1]:
+                verts = child[1][0]
+            elif child[0] == "PolygonVertexIndex" and child[1]:
+                polys = child[1][0]
+        if not verts or not polys:
+            continue
+        base = len(vertices)
+        vertices.extend(np.asarray(verts, dtype=np.float64)
+                        .reshape(-1, 3).tolist())
+        sid = len(material_names)
+        material_names.append(f"geometry_{gi}")
+        poly = []
+        for idx in polys:
+            last = idx < 0
+            poly.append(~idx if last else idx)
+            if last:
+                for i in range(1, len(poly) - 1):
+                    triangles.append((base + poly[0], base + poly[i],
+                                      base + poly[i + 1]))
+                    surfaces.append(sid)
+                poly = []
+
+    if not triangles:
+        raise ValueError(f"{path}: no polygon geometry found")
+    tri_arr = np.asarray(triangles, dtype=np.int32)
+    if tri_arr.min() < 0 or tri_arr.max() >= len(vertices):
+        raise ValueError(f"{path}: face references out-of-range vertex")
+    soup = TriangleSoup(
+        vertices=jnp.asarray(np.asarray(vertices, dtype=np.float32)),
+        triangles=jnp.asarray(tri_arr),
+        surfaces=jnp.asarray(np.asarray(surfaces, dtype=np.int32)),
+    )
+    return SceneData(soup=soup,
+                     material_names=material_names or ["default"])
+
+
 _LOADERS = {".obj": load_obj, ".ply": load_ply, ".stl": load_stl,
-            ".off": load_off, ".dae": load_dae, ".dxf": load_dxf}
+            ".off": load_off, ".dae": load_dae, ".dxf": load_dxf,
+            ".fbx": load_fbx}
 
 
 def load_scene(path: str) -> SceneData:
-    """Load a scene by file extension (obj/ply/stl/off/dae/dxf)."""
+    """Load a scene by file extension (obj/ply/stl/off/dae/dxf/fbx)."""
     ext = os.path.splitext(path)[1].lower()
     if ext not in _LOADERS:
         raise ValueError(
