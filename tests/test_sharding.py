@@ -319,3 +319,42 @@ class TestShardedMultiband:
         assert len(bands) == 8
         for b in bands:
             assert np.all(np.isfinite(np.asarray(b.pressure)))
+
+
+class TestSerialFallbackStep:
+    def test_padded_grid_uses_serial_order_and_matches(self):
+        """A padded grid whose x planes land on a shard boundary fails
+        overlap_supported → the r4 serial step order must still run and
+        match the single-device solver (the overlapped order is the
+        default everywhere else, so this is the only coverage of the
+        fallback branch at n > 1)."""
+        from wayverb_tpu.parallel import box_sharded as bs
+        from wayverb_tpu.waveguide.run import (compute_mesh,
+                                               run_waveguide_box)
+        from wayverb_tpu.core.geometry import box_scene
+
+        # (32, 16, 128) grid with ihi_x = 14: (ihi+1) % 16 == 0 and
+        # (bhi+1) % 8 == 0, so both 2- and 4-shard splits refuse overlap
+        box = Box((0, 0, 0), (DX * 13, 1.6, 1.8))
+        mesh = compute_mesh(box_scene(box), np.full((1, 8), 0.12), DX,
+                            FS, scene_box=box, align=(32, 8, 128))
+        spec = mesh.box_spec
+        assert not bs.overlap_supported(spec, spec.dims[0] // 4)
+
+        desc = mesh.descriptor
+        src_loc = mesh.require_inside((DX * 6, 0.8, 0.5))
+        rcv_loc = mesh.require_inside((DX * 6, 0.8, 1.3))
+        num_steps = 60
+        source = HardSource(
+            node_idx=jnp.asarray(desc.flat_index(src_loc)),
+            signal=impulse_signal(num_steps, 1.0))
+        recv = NodeReceiver(node_idx=jnp.asarray(desc.flat_index(rcv_loc)))
+        ref = np.asarray(run_waveguide_box(
+            mesh.structure, mesh.box_spec, source, recv, num_steps,
+            kernel_inject=False)["outputs"])
+        out = bs.run_waveguide_box_sharded(
+            ps.make_device_mesh(4), mesh.structure, mesh.box_spec,
+            source, recv, num_steps)
+        assert bool(out["stable"])
+        np.testing.assert_allclose(np.asarray(out["outputs"]), ref,
+                                   atol=1e-5)
